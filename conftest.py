@@ -1,0 +1,2 @@
+# Ensures the repo root is on sys.path for `pgoutput2json_spark` and `tests.*`
+# imports when running `python -m pytest` from anywhere.

@@ -1,0 +1,33 @@
+"""pgoutput2json_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A brand-new engine (NOT a port) with the replay semantics of the reference
+PgOutput2Json/PgOutput2Json .NET library: pgoutput-style JSON change streams
+(insert / update / delete / truncate, keyed, with relation-message schema
+metadata) are applied into a lake table of pre-tokenized training sequences
+via Structured Streaming micro-batches, exact serial-apply-equivalent
+set-oriented folding, MERGE-style bucketed copy-on-write, transactional
+schema evolution and idempotent exactly-once commits.
+
+Reference semantics cited throughout as ``/root/reference/<file>:<lines>``.
+"""
+
+from pgoutput2json_spark.schema import (
+    EVENT_SCHEMA,
+    RelationSchema,
+    ColumnSpec,
+    oid_to_spark_type,
+)
+from pgoutput2json_spark.lake.table import LakeTable
+from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "RelationSchema",
+    "ColumnSpec",
+    "oid_to_spark_type",
+    "LakeTable",
+    "CdcEngine",
+    "EngineOptions",
+]
+
+__version__ = "0.1.0"

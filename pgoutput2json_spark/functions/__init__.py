@@ -1,0 +1,3 @@
+from pgoutput2json_spark.functions import decode, tokens
+
+__all__ = ["decode", "tokens"]

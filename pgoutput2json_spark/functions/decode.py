@@ -1,0 +1,146 @@
+"""Vectorized decoders for PostgreSQL text conventions.
+
+Re-expresses the reference's JSON encode/decode kernel
+(src/PgOutput2Json/JsonUtils.cs:8-269, dispatched by OID in
+JsonWriter.cs:316-370) as Spark column expressions.  Everything on the hot
+path (number arrays = the ``tokens`` payload, bools, bytea, NaN handling) is
+pure JVM/Catalyst; only quoted-text-array parsing — which has PG-specific
+escape rules and is never on the token hot path — uses an Arrow-batched
+pandas UDF (no row-at-a-time Python anywhere).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def pg_bool(col: Column) -> Column:
+    """PG bool text -> boolean: values starting with 't' are true
+    (JsonUtils.cs:62-72: ``t...`` -> true else false)."""
+    return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.startswith(col, F.lit("t"))
+    )
+
+
+def pg_bytea(col: Column) -> Column:
+    """PG bytea hex text -> binary, stripping the ``\\x`` prefix
+    (JsonUtils.cs:79-96)."""
+    hexstr = F.when(F.startswith(col, F.lit("\\x")), F.substring(col, 3, 1 << 30)).otherwise(col)
+    return F.unhex(hexstr)
+
+
+def pg_number(col: Column, dtype: str = "double") -> Column:
+    """PG numeric text -> number with NaN/±Infinity coerced to 0
+    (JsonUtils.cs:24-55: non-finite values are written as 0)."""
+    lowered = F.lower(col)
+    bad = lowered.isin("nan", "infinity", "-infinity", "inf", "-inf")
+    return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(
+        F.when(bad, F.lit(0)).otherwise(col).cast(dtype)
+    )
+
+
+def pg_number_array(col: Column, element_type: str = "int") -> Column:
+    """PG number-array literal ``{1,2,3}`` / ``{{1,2},{3,4}}`` -> Spark array.
+
+    The multi-dim form is flattened after brace->bracket rewrite + from_json
+    (the reference recursively converts to nested JSON arrays,
+    JsonUtils.cs:98-101,236-269; NaN/Infinity elements -> 0 per the same
+    number rule).  JVM-only — this is the ``tokens`` (OID 1007) decode path.
+    """
+    json_text = F.translate(col, "{}", "[]")
+    # non-finite elements -> 0 before parse (case-insensitive)
+    json_text = F.regexp_replace(json_text, r"(?i)-?(nan|infinity|inf)", "0")
+    # NULL elements (unquoted, case-insensitive) -> JSON null
+    json_text = F.regexp_replace(json_text, r"(?i)(?<=[\[,])NULL(?=[,\]])", "null")
+    flat = F.from_json(json_text, f"array<{element_type}>")
+    nested = F.from_json(json_text, f"array<array<{element_type}>>")
+    return F.when(col.isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(
+        F.when(F.startswith(F.regexp_replace(col, r"^\{\s*", "{"), F.lit("{{")), F.flatten(nested))
+        .otherwise(flat)
+    )
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def pg_text_array(s: pd.Series) -> pd.Series:
+    """PG text-array literal -> array<string>, handling quoted elements with
+    embedded commas/braces/escapes and unquoted NULLs
+    (JsonUtils.cs:103-182,236-269 semantics).  Arrow-batched pandas UDF —
+    this path is off the token hot path (text arrays only).
+    """
+
+    def parse(v):
+        if v is None:
+            return None
+        out: list[str | None] = []
+        i, n = 0, len(v)
+        depth = 0
+        buf: list[str] = []
+        quoted = False
+        in_quote = False
+
+        def flush():
+            nonlocal buf, quoted
+            if not buf and not quoted:
+                return
+            text = "".join(buf)
+            if not quoted and text.upper() == "NULL":
+                out.append(None)
+            elif text or quoted:
+                out.append(text)
+            buf, quoted = [], False
+
+        while i < n:
+            ch = v[i]
+            if in_quote:
+                if ch == "\\" and i + 1 < n:
+                    buf.append(v[i + 1])
+                    i += 2
+                    continue
+                if ch == '"':
+                    in_quote = False
+                else:
+                    buf.append(ch)
+            elif ch == '"':
+                in_quote = True
+                quoted = True
+            elif ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    flush()
+            elif ch == "," and depth >= 1:
+                flush()
+            elif depth >= 1 and ch not in "\t\n ":
+                buf.append(ch)
+            elif depth >= 1 and buf:
+                buf.append(ch)
+            i += 1
+        return out
+
+    return s.map(parse)
+
+
+def decode_by_oid(col: Column, oid: int) -> Column:
+    """OID-dispatched decode of a PG text value into its Spark-typed column
+    (mirrors the reference's dispatch, JsonWriter.cs:316-370)."""
+    from pgoutput2json_spark.schema import oid_to_spark_type
+
+    t = oid_to_spark_type(oid)
+    s = t.simpleString()
+    if oid == 16:
+        return pg_bool(col)
+    if oid == 17:
+        return pg_bytea(col)
+    if s in ("int", "bigint", "float", "double", "smallint"):
+        return pg_number(col, s)
+    if s.startswith("array<") and s not in ("array<string>",):
+        return pg_number_array(col, s[6:-1])
+    if s == "array<string>":
+        return pg_text_array(col)
+    if s in ("timestamp", "date"):
+        return col.cast(s)
+    return col.cast("string")

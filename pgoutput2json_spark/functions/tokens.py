@@ -1,0 +1,72 @@
+"""Token-payload transforms as vectorized Arrow/pandas UDFs.
+
+Per the engine contract (BASELINE.json input_hint / north rule), every token
+payload transform is either a built-in Catalyst expression or an
+Arrow-batched pandas UDF — zero per-row Python.  The hot-path parse of the
+positional JSON token text into ``array<int>`` stays JVM-side
+(``from_json``); these UDFs cover the transforms Spark lacks a built-in for,
+plus pandas twins of built-ins used to validate Arrow plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def recompute_n_tok(tokens: Column) -> Column:
+    """n_tok := len(tokens) — JVM built-in (size), null-safe."""
+    return F.when(tokens.isNull(), F.lit(None).cast("int")).otherwise(F.size(tokens))
+
+
+@pandas_udf(T.IntegerType())
+def n_tok_pandas(tokens: pd.Series) -> pd.Series:
+    """Arrow-batched n_tok recompute (pandas twin of ``recompute_n_tok``)."""
+    return tokens.map(lambda t: len(t) if t is not None else None).astype("Int32")
+
+
+@pandas_udf(T.StringType())
+def tokens_digest(tokens: pd.Series) -> pd.Series:
+    """Deterministic md5 digest of a token array (for per-row token-array
+    equality audits between engine output and the oracle)."""
+
+    def dig(t):
+        if t is None:
+            return None
+        arr = np.asarray(t, dtype=np.int64)
+        return hashlib.md5(arr.tobytes()).hexdigest()
+
+    return tokens.map(dig)
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def clip_tokens(tokens: pd.Series, max_len: pd.Series) -> pd.Series:
+    """Truncate token sequences to ``max_len`` (training-window clipping) —
+    vectorized over Arrow batches."""
+    out = []
+    for t, m in zip(tokens, max_len):
+        if t is None:
+            out.append(None)
+        else:
+            out.append(t[: int(m)])
+    return pd.Series(out)
+
+
+@pandas_udf(T.DoubleType())
+def token_entropy(tokens: pd.Series) -> pd.Series:
+    """Shannon entropy of the token distribution per sequence (quality
+    signal for training-data filtering), numpy-vectorized per value."""
+
+    def ent(t):
+        if t is None or len(t) == 0:
+            return None
+        _, counts = np.unique(np.asarray(t), return_counts=True)
+        p = counts / counts.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    return tokens.map(ent)

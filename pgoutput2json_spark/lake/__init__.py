@@ -1,0 +1,3 @@
+from pgoutput2json_spark.lake.table import LakeTable
+
+__all__ = ["LakeTable"]

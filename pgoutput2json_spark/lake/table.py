@@ -1,0 +1,354 @@
+"""LakeTable — a minimal Iceberg-style table format on parquet + JSON snapshots.
+
+The production design targets Apache Iceberg (``MERGE INTO`` +
+snapshot-summary commit markers + ``ALTER TABLE`` schema evolution, per
+SURVEY.md §1.2/§4).  This container has no Iceberg runtime jar, so we
+implement the exact subset of table-format semantics the CDC engine needs,
+with the same guarantees:
+
+- **Atomic commits**: a snapshot is one JSON file ``metadata/v<NNN>.json``
+  claimed via ``os.link`` (fails if the version exists -> optimistic
+  concurrency, like Iceberg's commit swap).
+- **Snapshot summary properties**: arbitrary key/values per commit — used for
+  the idempotent exactly-once markers ``(epoch, max_lsn)`` and lineage
+  pointers (reference analogue: the store sinks commit the last WAL offset in
+  the same transaction as the data,
+  src/PgOutput2Json.Sqlite/SqlitePublisher.cs:43-57 /
+  SqliteConnectionExtensions.cs:25-28,247).
+- **Bucket partition spec** ``bucket(N, key)`` via
+  ``pmod(xxhash64(key), N)``: data files are grouped per bucket so a merge
+  rewrites only touched buckets (copy-on-write) and scans prune by bucket —
+  the scale story for 10^10 events / 100 TB.
+- **Metadata-only schema evolution**: add-column and int->bigint widening
+  change only the snapshot schema; old files are read through the new schema
+  (missing column -> null, int32 -> int64 upcast — both verified supported by
+  Spark 4's parquet reader).  Reference analogue: add-only ``ALTER TABLE``
+  in SqliteConnectionExtensions.cs:132-210.
+
+Layout::
+
+    <root>/
+      metadata/v00000000001.json ...   # snapshots (monotone versions)
+      data/c<version>-<uuid>/__bucket=<b>/part-*.parquet
+      lineage/<epoch>/*.parquet        # per-micro-batch lineage (M1)
+
+Snapshot JSON::
+
+    {"version": 3, "parent": 2,
+     "schema": [{"name":..., "type": <simpleString>, "oid": ...}, ...],
+     "bucket_column": "doc_id", "bucket_count": 16,
+     "files": {"0": ["data/.../part-x.parquet", ...], ...},
+     "summary": {...},        # this commit's properties
+     "properties": {...}}     # cumulative table properties
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from pgoutput2json_spark.schema import can_widen
+
+
+class CommitConflict(Exception):
+    """Another writer claimed this snapshot version first."""
+
+
+def _parse_type(s: str) -> T.DataType:
+    return T._parse_datatype_string(s)  # accepts simpleString forms
+
+
+class LakeTable:
+    """Handle to one lake table rooted at a local/posix directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self._meta = os.path.join(self.root, "metadata")
+
+    # ---------------------------------------------------------- lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: list[dict],
+        bucket_column: str,
+        bucket_count: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is a list of
+        ``{"name":..., "type": <spark simpleString>, "oid": <pg oid>}``."""
+        t = LakeTable(spark, root)
+        os.makedirs(t._meta, exist_ok=True)
+        if t.current_version() is not None:
+            raise FileExistsError(f"table already exists at {root}")
+        snap = {
+            "version": 1,
+            "parent": None,
+            "schema": schema,
+            "bucket_column": bucket_column,
+            "bucket_count": int(bucket_count),
+            "files": {},
+            "summary": {"operation": "create"},
+            "properties": dict(properties or {}),
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        meta = os.path.join(os.path.abspath(root), "metadata")
+        return os.path.isdir(meta) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(meta)
+        )
+
+    # ---------------------------------------------------------- snapshots
+
+    def _ver_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"v{version:011d}.json")
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._meta):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self._meta)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        with open(self._ver_path(v)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        cur = self.current_version()
+        return [self.snapshot(v) for v in range(1, (cur or 0) + 1)]
+
+    def _write_snapshot(self, snap: dict) -> None:
+        """Atomically claim snapshot ``snap['version']`` (Iceberg-style CAS)."""
+        tmp = os.path.join(self._meta, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._ver_path(snap["version"])
+        try:
+            os.link(tmp, final)  # atomic: fails if version already claimed
+        except FileExistsError as e:
+            raise CommitConflict(f"version {snap['version']} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    # ---------------------------------------------------------- schema
+
+    def schema_fields(self) -> list[dict]:
+        return self.snapshot()["schema"]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c["name"], _parse_type(c["type"]), True)
+             for c in self.schema_fields()]
+        )
+
+    def column_names(self) -> list[str]:
+        return [c["name"] for c in self.schema_fields()]
+
+    @property
+    def bucket_column(self) -> str:
+        return self.snapshot()["bucket_column"]
+
+    @property
+    def bucket_count(self) -> int:
+        return int(self.snapshot()["bucket_count"])
+
+    def bucket_expr(self, col: str | None = None):
+        """The partition-spec transform ``bucket(N, key)``."""
+        c = col or self.bucket_column
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(self.bucket_count)).cast("int")
+
+    # ------------------------------------------------- schema evolution (E2)
+
+    def evolve(self, new_fields: list[dict], summary: dict | None = None) -> bool:
+        """Idempotently apply add-column / type-widen evolution.
+
+        ``new_fields`` is the full desired field list (name/type/oid).  Only
+        additions and legal widenings are applied; anything else raises.
+        Returns True if a metadata commit was made.  Mirrors the reference's
+        add-only create-or-alter (SqliteConnectionExtensions.cs:132-210), with
+        widening per the relation-message OID change (SURVEY.md §1.3).
+        """
+        cur = self.snapshot()
+        by_name = {c["name"]: dict(c) for c in cur["schema"]}
+        changed = False
+        out: list[dict] = [dict(c) for c in cur["schema"]]
+        for nf in new_fields:
+            have = by_name.get(nf["name"])
+            if have is None:
+                out.append(dict(nf))  # add column (always nullable)
+                changed = True
+            elif have["type"] != nf["type"]:
+                if can_widen(_parse_type(have["type"]), _parse_type(nf["type"])):
+                    for c in out:
+                        if c["name"] == nf["name"]:
+                            c["type"] = nf["type"]
+                            c["oid"] = nf.get("oid", c.get("oid"))
+                    changed = True
+                else:
+                    raise ValueError(
+                        f"unsupported evolution {have['type']} -> {nf['type']} "
+                        f"for column {nf['name']}"
+                    )
+        if not changed:
+            return False
+        snap = {
+            "version": cur["version"] + 1,
+            "parent": cur["version"],
+            "schema": out,
+            "bucket_column": cur["bucket_column"],
+            "bucket_count": cur["bucket_count"],
+            "files": cur["files"],
+            "summary": {"operation": "evolve", **(summary or {})},
+            "properties": cur["properties"],
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        self._write_snapshot(snap)
+        return True
+
+    # ---------------------------------------------------------- read path
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read current table state; optionally only the given buckets
+        (partition pruning — only those buckets' files are listed)."""
+        snap = self.snapshot()
+        files: list[str] = []
+        sel = set(map(str, buckets)) if buckets is not None else None
+        for b, fl in snap["files"].items():
+            if sel is None or b in sel:
+                files.extend(os.path.join(self.root, f) for f in fl)
+        schema = self.spark_schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema: old files read through the current schema
+        # (missing column -> null, int32 -> int64 upcast) = metadata-only
+        # evolution, verified on Spark 4.1's vectorized parquet reader.
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def touched_buckets(self) -> list[int]:
+        return sorted(int(b) for b in self.snapshot()["files"].keys())
+
+    # ---------------------------------------------------------- write path
+
+    def write_data_files(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
+        """Write ``df`` (must contain the table columns) into per-bucket
+        parquet files under a fresh commit directory; returns the
+        bucket -> relative-file-list mapping (not yet committed).
+
+        The write shuffles by the bucket transform so each output task owns
+        one bucket (clustered files = prunable merges at scale).
+        """
+        commit_dir = f"data/c{version_hint}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, commit_dir)
+        cols = self.column_names()
+        (
+            df.withColumn("__bucket", self.bucket_expr())
+            .repartition(F.col("__bucket"))
+            .sortWithinPartitions(self.bucket_column)
+            .write.partitionBy("__bucket")
+            .parquet(out)
+        )
+        files: dict[str, list[str]] = {}
+        for ent in os.listdir(out):
+            if not ent.startswith("__bucket="):
+                continue
+            b = ent.split("=", 1)[1]
+            for fn in os.listdir(os.path.join(out, ent)):
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(f"{commit_dir}/{ent}/{fn}")
+        _ = cols
+        return files
+
+    def commit_replace_buckets(
+        self,
+        new_files: dict[str, list[str]],
+        replaced_buckets: list[int],
+        summary: dict | None = None,
+        properties: dict | None = None,
+        expected_version: int | None = None,
+        truncate_all: bool = False,
+    ) -> dict:
+        """Atomic commit: swap the file lists of ``replaced_buckets`` for
+        ``new_files`` (other buckets unchanged), merging ``summary`` into the
+        snapshot and ``properties`` into cumulative table properties.
+
+        This is the single transaction that carries both the data mutation and
+        the offset marker — the engine's exactly-once primitive (reference
+        analogue SqlitePublisher.cs:43-57: data + WalEnd in one tx).
+        """
+        cur = self.snapshot()
+        if expected_version is not None and cur["version"] != expected_version:
+            raise CommitConflict(
+                f"expected v{expected_version}, table at v{cur['version']}"
+            )
+        files = {} if truncate_all else dict(cur["files"])
+        for b in map(str, replaced_buckets):
+            files.pop(b, None)
+        for b, fl in new_files.items():
+            if fl:
+                files[str(b)] = fl
+        props = dict(cur["properties"])
+        props.update(properties or {})
+        snap = {
+            "version": cur["version"] + 1,
+            "parent": cur["version"],
+            "schema": cur["schema"],
+            "bucket_column": cur["bucket_column"],
+            "bucket_count": cur["bucket_count"],
+            "files": files,
+            "summary": dict(summary or {}),
+            "properties": props,
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        self._write_snapshot(snap)
+        return snap
+
+    # ---------------------------------------------------------- properties
+
+    def property(self, key: str, default=None):
+        return self.snapshot()["properties"].get(key, default)
+
+    def committed_epoch(self) -> int:
+        """Last streaming epoch durably committed (idempotency marker B3)."""
+        return int(self.property("cdc.last-epoch", -1))
+
+    def committed_lsn(self) -> int:
+        """Max virtual LSN durably applied (source-side dedup D2 — reference
+        GetLastPublishedWalSeqAsync, ReplicationListener.cs:155-288)."""
+        return int(self.property("cdc.max-lsn", -1))
+
+    # ---------------------------------------------------------- maintenance
+
+    def append(self, df: DataFrame, summary: dict | None = None,
+               properties: dict | None = None) -> dict:
+        """Append-only fast path (bootstrap S3): write + commit new files into
+        their buckets without replacing anything."""
+        cur = self.current_version()
+        new_files = self.write_data_files(df, cur + 1)
+        merged: dict[str, list[str]] = {}
+        snap_files = self.snapshot()["files"]
+        for b, fl in new_files.items():
+            merged[b] = snap_files.get(b, []) + fl
+        return self.commit_replace_buckets(
+            merged, replaced_buckets=list(merged.keys()),
+            summary={"operation": "append", **(summary or {})},
+            properties=properties,
+        )

@@ -1,0 +1,3 @@
+from pgoutput2json_spark.operators import explode, fold, merge, parse
+
+__all__ = ["parse", "explode", "fold", "merge"]

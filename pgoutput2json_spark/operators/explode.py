@@ -1,0 +1,72 @@
+"""Key-update explode (A2) and truncate epoch split (A5).
+
+- **Key-update**: an update whose ``k`` key differs from the new row's key
+  means the row migrates between primary keys.  Like the reference's DynamoDB
+  sink ("Changing PK is not supported - we must delete the old, and create a
+  new item", DynamoDbPublisher.cs:126-173) we emit two logical change rows at
+  the same LSN: a delete of the old key (sub-sequence 0) and the update under
+  the new key (sub-sequence 1); the fold orders by ``(lsn, sub)``.
+
+- **Truncate**: ``c='T'`` (our extension — the reference has no Truncate
+  branch, JsonWriter.cs:46-123) removes all rows as of its LSN.  Within a
+  micro-batch we split at the **max** truncate LSN: earlier events are
+  discarded, the table is cleared in the same atomic commit that applies the
+  residual (post-truncate) events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def split_truncate(parsed: DataFrame) -> tuple[DataFrame, int | None]:
+    """Return (events-after-last-truncate, max_truncate_lsn|None).
+
+    One tiny aggregate; if no truncate events, the input passes through.
+    """
+    row = parsed.agg(
+        F.max(F.when(F.col("op") == "T", F.col("lsn"))).alias("tmax")
+    ).first()
+    tmax = row["tmax"]
+    if tmax is None:
+        return parsed.filter(F.col("op") != "T"), None
+    return parsed.filter((F.col("lsn") > F.lit(tmax)) & (F.col("op") != "T")), int(tmax)
+
+
+def explode_key_updates(parsed: DataFrame, field_names: list[str]) -> DataFrame:
+    """Resolve each event's merge key and expand key-changing updates into
+    (delete-old, upsert-new) pairs — one JVM pass via array+explode.
+
+    Output: doc_id, lsn, sub, op, f_<col>... (payload structs untouched;
+    the synthetic delete carries no payload).
+    """
+    old_k, new_k = F.col("old_key"), F.col("new_key")
+    is_ku = (
+        (F.col("op") == "U")
+        & old_k.isNotNull()
+        & new_k.isNotNull()
+        & (old_k != new_k)
+    )
+    # normal key resolution: deletes match on k (SqliteConnectionExtensions.cs
+    # :386-410); everything else on the new row's key, falling back to k
+    normal_key = F.when(F.col("op") == "D", F.coalesce(old_k, new_k)).otherwise(
+        F.coalesce(new_k, old_k)
+    )
+    main = F.struct(F.lit(1).alias("sub"), F.col("op").alias("op"), normal_key.alias("doc_id"))
+    del_old = F.struct(F.lit(0).alias("sub"), F.lit("D").alias("op"), old_k.alias("doc_id"))
+    pairs = F.when(is_ku, F.array(del_old, F.struct(F.lit(1).alias("sub"), F.lit("U").alias("op"), new_k.alias("doc_id")))).otherwise(
+        F.array(main)
+    )
+    e = F.explode(pairs).alias("e")
+    keep = [F.col(f"f_{n}") for n in field_names]
+    return (
+        parsed.select(F.col("lsn"), e, *keep)
+        .select(
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("lsn"),
+            F.col("e.sub").alias("sub"),
+            F.col("e.op").alias("op"),
+            *keep,
+        )
+        .filter(F.col("doc_id").isNotNull())
+    )

@@ -1,0 +1,78 @@
+"""MERGE INTO the bucketed lake table (A1/A3/A4 unified) — copy-on-write.
+
+Equivalent of ``MERGE INTO target t USING updates s ON t.doc_id = s.doc_id
+WHEN MATCHED ...`` over Iceberg (SURVEY.md §2 A1), realized as:
+
+- prune the target scan to the **touched buckets** only (the bucket(N, key)
+  partition spec makes merges proportional to touched data, not table size),
+- full-outer join target rows with per-key folded event groups,
+- fold residual events over the live row (``F.aggregate``, fold.py),
+- rewrite only the touched buckets' files; the atomic snapshot commit swaps
+  them together with the exactly-once marker (engine.py).
+
+Merge statistics (rows inserted/updated/deleted/copied) are collected with
+``DataFrame.observe`` during the single write action — no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from pgoutput2json_spark.lake.table import LakeTable
+from pgoutput2json_spark.operators.fold import fold_final_state
+
+
+def touched_buckets(grouped: DataFrame, table: LakeTable) -> list[int]:
+    rows = (
+        grouped.select(table.bucket_expr("doc_id").alias("b")).distinct().collect()
+    )
+    return sorted(int(r["b"]) for r in rows)
+
+
+def merge_groups(
+    table: LakeTable,
+    grouped: DataFrame,
+    target: DataFrame,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Produce the post-merge content of the touched buckets.
+
+    ``target`` must already be pruned to the touched buckets (or empty for a
+    truncate epoch).  Returns the replacement rows (table columns only).
+    """
+    fields = [(c["name"], c["type"]) for c in table.schema_fields()]
+    key = table.bucket_column
+
+    t = target.alias("t")
+    u = grouped.alias("u")
+    joined = t.join(u, F.col(f"t.{key}") == F.col("u.doc_id"), "full_outer")
+
+    t_exists = F.col(f"t.{key}").isNotNull()
+    init = F.struct(
+        t_exists.alias("exists"),
+        *[F.col(f"t.{n}").cast(ty).alias(n) for n, ty in fields],
+    )
+    final = F.when(F.col("u.doc_id").isNull(), init).otherwise(
+        fold_final_state(F.col("u.evs"), init, fields)
+    )
+
+    staged = joined.select(
+        F.coalesce(F.col("u.doc_id"), F.col(f"t.{key}")).alias("__key"),
+        t_exists.alias("__had"),
+        final.alias("__st"),
+    )
+    if observation is not None:
+        staged = staged.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum((~F.col("__had") & F.col("__st.exists")).cast("long")).alias("rows_inserted"),
+            F.sum((F.col("__had") & F.col("__st.exists")).cast("long")).alias("rows_kept_or_updated"),
+            F.sum((F.col("__had") & ~F.col("__st.exists")).cast("long")).alias("rows_deleted"),
+        )
+    out_cols = []
+    for n, ty in fields:
+        if n == key:
+            out_cols.append(F.col("__key").alias(n))
+        else:
+            out_cols.append(F.col(f"__st.{n}").alias(n))
+    return staged.filter(F.col("__st.exists")).select(*out_cols)

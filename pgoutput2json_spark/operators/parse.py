@@ -1,0 +1,127 @@
+"""Positional payload parsing against relation-message schemas (E1 + P1).
+
+Events arrive with ``k``/``r`` as ``array<string>`` of raw JSON slot text.
+Each event must be parsed with the relation schema **in effect at its LSN**
+(the reference embeds the new schema in the first event after a relation
+change — ReplicationListener.cs:243-249, JsonWriter.cs:195-206).  Relation
+versions within a batch are few, so we build one CASE expression per output
+column dispatching on the event's version — a single JVM pass, no Python.
+
+Output columns:
+  op (I/U/D/T), lsn, old_key (from ``k``), new_key (from ``r``),
+  and per target column ``<name>`` a struct ``(set boolean, val <type>)``
+  where ``set`` is false for absent slots (short rows from pre-evolution
+  layouts = column-not-in-SET, reference ALTER precedent) and for TOAST
+  sentinels (skip-on-apply, SqliteConnectionExtensions.cs:346-350).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from pgoutput2json_spark.schema import RelationSchema, TOAST_SENTINEL
+
+
+def _parse_slot(raw: Column, dtype: T.DataType) -> Column:
+    """Decode one raw-JSON slot text into a typed value (JVM-only).
+
+    Token arrays (OID 1007 -> array<int>) go through ``from_json`` — the
+    number-array hot path.  Strings arrive already unquoted from the JSON
+    reader; numbers/bools/timestamps cast directly.
+    """
+    s = dtype.simpleString()
+    if s.startswith("array<"):
+        return F.from_json(raw, s)
+    if s == "binary":
+        from pgoutput2json_spark.functions.decode import pg_bytea
+
+        return pg_bytea(raw)
+    return raw.cast(s)
+
+
+def _is_toast(raw: Column) -> Column:
+    # jsonl path yields the bare sentinel; typed/parquet path may carry the
+    # raw-JSON (quoted) form
+    return raw.isin(TOAST_SENTINEL, f'"{TOAST_SENTINEL}"')
+
+
+def parse_events(
+    events: DataFrame,
+    versions: list[tuple[int, RelationSchema]],
+    target_fields: list[dict],
+) -> DataFrame:
+    """Parse envelope events into typed per-column (set, val) structs.
+
+    ``versions``: [(effective_from_lsn, RelationSchema)] ascending; the first
+    entry is the base schema (effective_from_lsn = -1).
+    ``target_fields``: the table's post-evolution schema
+    (``[{"name","type","oid"}]``) — the fold's column universe.
+    """
+    assert versions and versions[0][0] <= 0
+    from pgoutput2json_spark.lake.table import _parse_type
+
+    w = F.col("w")
+
+    def per_version(build):
+        """CASE over version ranges: build(rel) -> Column for that layout."""
+        expr = None
+        for i, (from_lsn, rel) in enumerate(versions):
+            upper = versions[i + 1][0] if i + 1 < len(versions) else None
+            cond = w >= F.lit(from_lsn)
+            if upper is not None:
+                cond = cond & (w < F.lit(upper))
+            col = build(rel)
+            expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+        return expr
+
+    def key_from(arr_col: str):
+        def build(rel: RelationSchema):
+            idx = rel.key_index()
+            return F.element_at(F.col(arr_col), idx + 1)
+
+        return per_version(build)
+
+    out_cols = [
+        F.col("c").alias("op"),
+        w.alias("lsn"),
+        F.when(F.col("k").isNotNull(), key_from("k")).alias("old_key"),
+        F.when(F.col("r").isNotNull(), key_from("r")).alias("new_key"),
+    ]
+
+    for fdict in target_fields:
+        name, dtype = fdict["name"], _parse_type(fdict["type"])
+
+        def build_val(rel: RelationSchema, name=name, dtype=dtype):
+            pos = next((i for i, c in enumerate(rel.columns) if c.name == name), None)
+            if pos is None:
+                return F.struct(
+                    F.lit(False).alias("set"), F.lit(None).cast(dtype).alias("val")
+                )
+            raw = F.element_at(F.col("r"), pos + 1)
+            present = F.col("r").isNotNull() & (F.size("r") > pos)
+            is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
+            return F.struct(
+                is_set.alias("set"),
+                F.when(is_set, _parse_slot(raw, dtype)).alias("val"),
+            )
+
+        out_cols.append(per_version(build_val).alias(f"f_{name}"))
+
+    return events.select(*out_cols)
+
+
+def relation_versions_in_batch(
+    events: DataFrame, base: RelationSchema
+) -> list[tuple[int, RelationSchema]]:
+    """Collect relation messages carried by this batch (tiny — one row per
+    DDL change) and return the ordered version list starting at the base."""
+    rows = (
+        events.filter(F.col("s").isNotNull())
+        .select("w", "s")
+        .distinct()
+        .collect()
+    )
+    versions: list[tuple[int, RelationSchema]] = [(-1, base)]
+    for row in sorted(rows, key=lambda r: r["w"]):
+        versions.append((int(row["w"]), RelationSchema.from_json(row["s"])))
+    return versions

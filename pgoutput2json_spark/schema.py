@@ -1,0 +1,191 @@
+"""Event envelope schema, PG OID -> Spark type mapping, relation-message parsing.
+
+The change-event envelope mirrors the reference's compact JSON format
+(reference README.md:45-54, src/PgOutput2Json/JsonWriter.cs:147-232):
+
+``{"c": "I|U|D|T", "w": <virtual lsn>, "t": "schema.table",
+   "s": [...relation schema...], "k": [...key slots...], "r": [...row...]}``
+
+- ``c`` change type.  The reference emits only I/U/D
+  (JsonWriter.cs:46-123); ``T`` (truncate) is our extension per the task's
+  north rule, ordered against other events by ``w``.
+- ``w`` "virtual LSN" = WalStart + messageNo, strictly monotone per slot
+  (ReplicationListener.cs:155-276).  ``w=0`` marks snapshot bootstrap rows
+  (DataExporter.cs:224).
+- ``s`` compact relation schema, present only when the relation changed
+  (JsonWriter.cs:195-206, 465-504):
+  ``["schema.table", ["colName", isKey(0|1), typeOid, typmod?], ...]``.
+- ``k`` positional array with only key-column slots populated
+  (JsonWriter.cs:208-219, 250-261); present for deletes and for updates when
+  the key changed or REPLICA IDENTITY FULL.
+- ``r`` positional new-row values; absent on delete; nulls written
+  positionally in compact mode (JsonWriter.cs:253-257); unchanged TOAST
+  values are the literal string ``"__TOAST__"`` (JsonWriter.cs:306-309).
+
+We read ``k``/``r`` as ``array<string>`` — Spark's JSON reader coerces each
+element to its raw JSON text (``[1,2,3]`` -> the string ``"[1, 2, 3]"``),
+which keeps the envelope schema fixed while per-table payloads stay
+semi-structured until positional parsing against the relation schema.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+TOAST_SENTINEL = "__TOAST__"
+
+#: Fixed envelope schema for event files (JSON lines or parquet).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("c", T.StringType()),       # change type I/U/D/T
+        T.StructField("w", T.LongType()),         # virtual LSN (dedup key)
+        T.StructField("t", T.StringType()),       # schema-qualified table
+        T.StructField("s", T.StringType()),       # relation schema (raw JSON)
+        T.StructField("k", T.ArrayType(T.StringType())),  # key slots
+        T.StructField("r", T.ArrayType(T.StringType())),  # new row slots
+        T.StructField("cts", T.LongType()),       # commit timestamp (optional)
+        T.StructField("mts", T.LongType()),       # message timestamp (optional)
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# PG OID -> Spark type (reference src/PgOutput2Json/PgOid.cs:5-78 categories,
+# JSON re-typing rules JsonWriter.cs:316-370 / JsonUtils.cs:8-269, and the
+# SQLite narrowing table SqliteConnectionExtensions.cs:510-531).
+# ---------------------------------------------------------------------------
+
+_OID_SPARK: dict[int, T.DataType] = {
+    16: T.BooleanType(),      # bool
+    17: T.BinaryType(),       # bytea (hex '\x' stripped — JsonUtils.cs:79-96)
+    20: T.LongType(),         # int8
+    21: T.IntegerType(),      # int2
+    23: T.IntegerType(),      # int4
+    25: T.StringType(),       # text
+    26: T.LongType(),         # oid
+    700: T.FloatType(),       # float4
+    701: T.DoubleType(),      # float8
+    1700: T.DoubleType(),     # numeric (NaN/Inf -> 0, JsonUtils.cs:24-55)
+    1042: T.StringType(),     # bpchar
+    1043: T.StringType(),     # varchar
+    1114: T.TimestampType(),  # timestamp (ISO text — DataExporter.cs:157-161)
+    1184: T.TimestampType(),  # timestamptz
+    1082: T.DateType(),       # date
+    2950: T.StringType(),     # uuid
+    114: T.StringType(),      # json
+    3802: T.StringType(),     # jsonb
+    # arrays (PgOid.cs:103-137 IsArrayOf*)
+    1000: T.ArrayType(T.BooleanType()),   # _bool
+    1005: T.ArrayType(T.IntegerType()),   # _int2
+    1007: T.ArrayType(T.IntegerType()),   # _int4  <- the `tokens` payload
+    1016: T.ArrayType(T.LongType()),      # _int8
+    1021: T.ArrayType(T.FloatType()),     # _float4
+    1022: T.ArrayType(T.DoubleType()),    # _float8
+    1231: T.ArrayType(T.DoubleType()),    # _numeric
+    1009: T.ArrayType(T.StringType()),    # _text
+    1015: T.ArrayType(T.StringType()),    # _varchar
+}
+
+
+def oid_to_spark_type(oid: int) -> T.DataType:
+    """Map a pg_type OID to the Spark type used in the lake table.
+
+    Unknown OIDs fall back to StringType, mirroring the reference's
+    default-TEXT narrowing (SqliteConnectionExtensions.cs:528-530).
+    """
+    return _OID_SPARK.get(oid, T.StringType())
+
+
+#: Widening lattice: (from, to) pairs that an OID/typmod change in a relation
+#: message may legally trigger (Iceberg-compatible widenings).
+_WIDEN_OK: set[tuple[str, str]] = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("array<int>", "array<bigint>"),
+}
+
+
+def can_widen(frm: T.DataType, to: T.DataType) -> bool:
+    return (frm.simpleString(), to.simpleString()) in _WIDEN_OK
+
+
+# ---------------------------------------------------------------------------
+# Relation-message parsing (JsonWriter.cs:465-504 compact "s" format)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    is_key: bool
+    oid: int
+    typmod: int = -1
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return oid_to_spark_type(self.oid)
+
+
+@dataclass
+class RelationSchema:
+    """One table's column layout as carried by a relation message."""
+
+    table: str
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+    @staticmethod
+    def from_json(raw: str) -> "RelationSchema":
+        """Parse the compact ``s`` payload:
+        ``["schema.table", ["col", isKey, oid, typmod?], ...]``."""
+        arr = json.loads(raw)
+        table = arr[0]
+        cols = []
+        for spec in arr[1:]:
+            name, is_key, oid = spec[0], bool(spec[1]), int(spec[2])
+            typmod = int(spec[3]) if len(spec) > 3 else -1
+            cols.append(ColumnSpec(name, is_key, oid, typmod))
+        return RelationSchema(table, cols)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            [self.table]
+            + [[c.name, 1 if c.is_key else 0, c.oid, c.typmod] for c in self.columns]
+        )
+
+    @property
+    def key_columns(self) -> list[str]:
+        return [c.name for c in self.columns if c.is_key]
+
+    def key_index(self) -> int:
+        """Positional index of the (single) key column.
+
+        The engine, like the reference's store sinks, requires a primary key;
+        composite keys are concatenated upstream into one ``doc_id``.
+        """
+        idx = [i for i, c in enumerate(self.columns) if c.is_key]
+        if len(idx) != 1:
+            raise ValueError(f"exactly one key column required, got {idx}")
+        return idx[0]
+
+    def spark_struct(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, not c.is_key) for c in self.columns]
+        )
+
+
+#: Default relation schema of the target training-sequence table
+#: (BASELINE.json input_hint; FIXTURES.md §1).  `tokens` is OID 1007
+#: (A_INT4OID, reference PgOid.cs:54) — the number-array decode path.
+DOCS_RELATION = RelationSchema(
+    table="public.docs",
+    columns=[
+        ColumnSpec("doc_id", True, 25),
+        ColumnSpec("tokens", False, 1007),
+        ColumnSpec("n_tok", False, 23),
+        ColumnSpec("source", False, 25),
+    ],
+)

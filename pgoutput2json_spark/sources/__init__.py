@@ -1,0 +1,3 @@
+from pgoutput2json_spark.sources import events, generator
+
+__all__ = ["events", "generator"]

@@ -1,0 +1,42 @@
+"""Change-event sources (S1/S2/S3 in SURVEY.md §2).
+
+In production the stream source would be Kafka or a WAL-segment drop
+directory; here the engine tails **partitioned event files** (JSON lines in
+the reference's compact format, or parquet "compacted WAL segments") with
+Structured Streaming.  The streaming checkpoint directory plays the role of
+the replication slot (resumable cursor — reference
+ReplicationListener.cs:134-148), and ``maxFilesPerTrigger`` plays BatchSize
+(ReplicationListenerOptions.cs:21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgoutput2json_spark.schema import EVENT_SCHEMA
+
+
+def read_events(spark: SparkSession, path: str, fmt: str = "jsonl") -> DataFrame:
+    """Batch read of event files with the fixed envelope schema."""
+    if fmt == "jsonl":
+        return spark.read.schema(EVENT_SCHEMA).json(path)
+    if fmt == "parquet":
+        return spark.read.schema(EVENT_SCHEMA).parquet(path)
+    raise ValueError(f"unknown event format {fmt!r}")
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read (file source tailing the event directory)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if fmt == "jsonl":
+        return reader.json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise ValueError(f"unknown event format {fmt!r}")

@@ -1,0 +1,237 @@
+"""Deterministic, distributed synthetic change-event generator.
+
+Generates pgoutput-style compact JSON change events (FIXTURES.md §2) over the
+training-sequence table ``(doc_id, tokens:array<int32>, n_tok, source)``
+entirely with Catalyst expressions over ``spark.range`` — no driver-side
+loops, no RNG state: every value is a pure function of ``(seed, event_id)``
+via ``xxhash64``, so any scale regenerates identically and any subrange can
+be regenerated independently (the property a 10^10-event bench needs).
+
+Event mix (percentages of non-snapshot events): inserts, updates, deletes,
+key-updates (``k`` ≠ new key — reference DynamoDbPublisher.cs:126-173
+semantics), TOAST updates (tokens slot = ``"__TOAST__"`` —
+JsonWriter.cs:306-309), plus optional truncates, relation-message schema
+evolution, ``w=0`` snapshot bootstrap rows (DataExporter.cs:224) and a
+configurable hot key receiving ``hot_pct``% of events (skew scenario).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pgoutput2json_spark.schema import DOCS_RELATION, TOAST_SENTINEL
+
+TABLE = DOCS_RELATION.table
+
+
+@dataclass
+class GeneratorSpec:
+    n_events: int = 10_000
+    n_keys: int = 1_000
+    seed: int = 42
+    lsn_start: int = 1_000
+    # op mix in percent (remainder -> inserts)
+    update_pct: int = 30
+    delete_pct: int = 5
+    keyupdate_pct: int = 3
+    toast_pct: int = 5
+    # skew: hot_pct% of events hit doc 0 (FIXTURES.md scenario 11)
+    hot_pct: int = 10
+    vocab: int = 50_257
+    max_tokens: int = 64
+    sources: tuple = ("web", "code", "books")
+    #: event indices that become truncate events (c='T')
+    truncate_at: tuple = ()
+    #: event index at which a relation message adds column `lang` (text)
+    #: and the row layout gains a 5th slot
+    evolve_at: int | None = None
+    #: emit w=0 snapshot inserts for keys [0, snapshot_keys)
+    snapshot_keys: int = 0
+    n_files: int = 8
+
+
+def _h(seed_tag: int, *cols):
+    return F.xxhash64(F.lit(seed_tag), *cols)
+
+
+def generate_events(spark: SparkSession, spec: GeneratorSpec) -> DataFrame:
+    """Typed event DataFrame with EVENT_SCHEMA columns (k/r as array<string>),
+    plus no extra columns.  Deterministic in (seed, n_events, …)."""
+    s = spec.seed
+    df = spark.range(spec.n_events).withColumnRenamed("id", "i")
+
+    mix = F.pmod(_h(s + 1, F.col("i")), F.lit(100))
+    d0 = spec.delete_pct
+    d1 = d0 + spec.keyupdate_pct
+    d2 = d1 + spec.toast_pct
+    d3 = d2 + spec.update_pct
+    op = (
+        F.when(F.col("i").isin(*[int(x) for x in spec.truncate_at]), F.lit("T"))
+        if spec.truncate_at
+        else F.when(F.lit(False), F.lit("T"))
+    )
+    op = (
+        op.when(mix < d0, F.lit("D"))
+        .when(mix < d1, F.lit("KU"))
+        .when(mix < d2, F.lit("TU"))
+        .when(mix < d3, F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    df = df.withColumn("op", op)
+
+    hot = F.pmod(_h(s + 2, F.col("i")), F.lit(100)) < F.lit(spec.hot_pct)
+    key_n = F.when(hot, F.lit(0)).otherwise(F.pmod(_h(s + 3, F.col("i")), F.lit(spec.n_keys)))
+    new_key_n = F.pmod(_h(s + 6, F.col("i")), F.lit(spec.n_keys))
+    df = df.withColumn("key", F.format_string("doc-%06d", key_n))
+    df = df.withColumn("new_key", F.format_string("doc-%06d", new_key_n))
+
+    ln = (F.pmod(_h(s + 4, F.col("i")), F.lit(spec.max_tokens)) + 1).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(0), ln - 1),
+        lambda j: F.pmod(_h(s + 5, F.col("i"), j), F.lit(spec.vocab)).cast("int"),
+    )
+    df = df.withColumn("tokens", toks)
+    src_idx = F.pmod(_h(s + 7, F.col("i")), F.lit(len(spec.sources)))
+    src = F.element_at(F.array(*[F.lit(x) for x in spec.sources]), (src_idx + 1).cast("int"))
+    df = df.withColumn("source", src)
+
+    evolved = (
+        F.col("i") >= F.lit(spec.evolve_at) if spec.evolve_at is not None else F.lit(False)
+    )
+    lang = F.format_string("l%d", F.pmod(_h(s + 8, F.col("i")), F.lit(5)))
+
+    tok_slot = F.when(F.col("op") == "TU", F.lit(f'"{TOAST_SENTINEL}"')).otherwise(
+        F.to_json(F.col("tokens"))
+    )
+    n_tok = F.size("tokens").cast("string")
+    # positional row slots as raw-JSON text (array<string> envelope form)
+    base_r = F.array(
+        F.when(F.col("op") == "KU", F.col("new_key")).otherwise(F.col("key")),
+        tok_slot,
+        n_tok,
+        F.col("source"),
+    )
+    r_slots = F.when(evolved, F.concat(base_r, F.array(lang))).otherwise(base_r)
+    has_r = ~F.col("op").isin("D", "T")
+    df = df.withColumn("r", F.when(has_r, r_slots))
+
+    # k: only key slot populated (JsonWriter.cs:250-261); present on D and KU
+    width = F.when(evolved, F.lit(5)).otherwise(F.lit(4))
+    k_slots = F.concat(
+        F.array(F.col("key")),
+        F.array_repeat(F.lit(None).cast("string"), (width - 1).cast("int")),
+    )
+    df = df.withColumn("k", F.when(F.col("op").isin("D", "KU"), k_slots))
+
+    # relation message rides on the first evolved event (E1 —
+    # ReplicationListener.cs:243-249: relation change marks the NEXT event)
+    evolved_schema = (
+        f'["{TABLE}",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],'
+        f'["source",0,25],["lang",0,25]]'
+    )
+    s_col = (
+        F.when(F.col("i") == F.lit(spec.evolve_at), F.lit(evolved_schema))
+        if spec.evolve_at is not None
+        else F.lit(None).cast("string")
+    )
+
+    out = df.select(
+        F.when(F.col("op").isin("KU", "TU"), F.lit("U")).otherwise(F.col("op")).alias("c"),
+        (F.lit(spec.lsn_start) + F.col("i")).alias("w"),
+        F.lit(TABLE).alias("t"),
+        s_col.alias("s"),
+        F.col("k"),
+        F.col("r"),
+        (F.lit(1_700_000_000_000) + F.col("i")).alias("cts"),
+        (F.lit(1_700_000_000_000) + F.col("i")).alias("mts"),
+    )
+
+    if spec.snapshot_keys:
+        snap = spark.range(spec.snapshot_keys).withColumnRenamed("id", "i")
+        sl = (F.pmod(_h(s + 14, F.col("i")), F.lit(spec.max_tokens)) + 1).cast("int")
+        stoks = F.transform(
+            F.sequence(F.lit(0), sl - 1),
+            lambda j: F.pmod(_h(s + 15, F.col("i"), j), F.lit(spec.vocab)).cast("int"),
+        )
+        snap = snap.select(
+            F.lit("I").alias("c"),
+            F.lit(0).cast("long").alias("w"),  # w=0: snapshot never wins dedup
+            F.lit(TABLE).alias("t"),
+            F.lit(None).cast("string").alias("s"),
+            F.lit(None).cast("array<string>").alias("k"),
+            F.array(
+                F.format_string("doc-%06d", F.col("i")),
+                F.to_json(stoks),
+                F.size(stoks).cast("string"),
+                F.lit("snapshot"),
+            ).alias("r"),
+            F.lit(1_700_000_000_000).alias("cts"),
+            F.lit(1_700_000_000_000).alias("mts"),
+        )
+        out = snap.unionByName(out)
+    return out
+
+
+def to_json_lines(events: DataFrame):
+    """Render events as reference-faithful compact JSON text lines
+    (heterogeneous ``r``: raw arrays/numbers, not quoted strings —
+    README.md:45-54 format), entirely with JVM string expressions."""
+
+    def arr_json(col):
+        # slots are raw JSON text: strings need quoting, raw JSON passes through
+        quoted = F.transform(
+            col,
+            lambda v: F.when(v.isNull(), F.lit("null")).otherwise(
+                F.when(
+                    v.rlike(r"^(\[.*\]|-?[0-9]+(\.[0-9]+)?|true|false|null|\".*\")$"),
+                    v,
+                ).otherwise(F.concat(F.lit('"'), v, F.lit('"')))
+            ),
+        )
+        return F.concat(F.lit("["), F.array_join(quoted, ","), F.lit("]"))
+
+    line = F.concat(
+        F.lit('{"c":"'), F.col("c"),
+        F.lit('","w":'), F.col("w").cast("string"),
+        F.lit(',"t":"'), F.col("t"), F.lit('"'),
+        F.when(F.col("s").isNotNull(), F.concat(F.lit(',"s":'), F.col("s"))).otherwise(F.lit("")),
+        F.when(F.col("k").isNotNull(), F.concat(F.lit(',"k":'), arr_json(F.col("k")))).otherwise(F.lit("")),
+        F.when(F.col("r").isNotNull(), F.concat(F.lit(',"r":'), arr_json(F.col("r")))).otherwise(F.lit("")),
+        F.lit(',"cts":'), F.col("cts").cast("string"),
+        F.lit(',"mts":'), F.col("mts").cast("string"),
+        F.lit("}"),
+    )
+    return events.select(line.alias("value"), F.col("w"))
+
+
+def write_events(events: DataFrame, path: str, fmt: str = "jsonl", n_files: int = 8) -> None:
+    """Write event files range-partitioned by LSN (WAL-segment analogue:
+    files cover disjoint, ordered LSN ranges).
+
+    **Ingest-order contract**: like the reference's replication stream, the
+    engine's LSN-watermark dedup (D2) assumes segments are *ingested* in LSN
+    order — true of a real WAL tailer, where segment k+1 is only written
+    after k.  Spark's file stream source orders by modification time, so we
+    stamp strictly increasing mtimes along the LSN ranges (range partition i
+    holds lower LSNs than i+1 by construction of repartitionByRange).
+    """
+    if fmt == "jsonl":
+        lines = to_json_lines(events)
+        lines.repartitionByRange(n_files, "w").select("value").write.mode("overwrite").text(path)
+        suffix = ".txt"
+    elif fmt == "parquet":
+        events.repartitionByRange(n_files, "w").write.mode("overwrite").parquet(path)
+        suffix = ".parquet"
+    else:
+        raise ValueError(f"unknown event format {fmt!r}")
+    import os
+    import time
+
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(suffix)
+    )
+    base = time.time() - len(parts) - 10
+    for i, fn in enumerate(parts):  # part index == LSN-range rank
+        os.utime(os.path.join(path, fn), (base + i, base + i))

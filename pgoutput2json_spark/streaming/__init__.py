@@ -1,0 +1,3 @@
+from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+__all__ = ["CdcEngine", "EngineOptions"]

@@ -1,0 +1,275 @@
+"""CdcEngine — Structured Streaming micro-batch orchestration.
+
+Per micro-batch (``foreachBatch``), in order — the set-oriented equivalent of
+the reference's listener loop (ReplicationListener.cs:234-321):
+
+1. **Idempotent epoch skip** (B3): if this (checkpoint, batch_id) already
+   committed, return — replays after crashes are no-ops, like the reference's
+   transactional Confirm (SqlitePublisher.cs:43-57).
+2. **Schema evolution** (E1/E2): relation messages in the batch diff against
+   the table schema; add-column / int-widen is applied as an idempotent
+   metadata-only commit *before* the merge
+   (SqliteConnectionExtensions.cs:132-210 precedent).
+3. **Positional parse** per relation version (parse.py).
+4. **Source-side dedup** (D2): drop events with ``lsn <= cdc.max-lsn``
+   (reference GetLastPublishedWalSeqAsync skip,
+   ReplicationListener.cs:278-288).
+5. **Truncate epoch split** (A5): clear + residual apply in one commit.
+6. **Key-update explode** (A2), **snapshot-cut pre-reduce + fold** (D3,
+   skew-safe), **bucket-pruned MERGE** (A1).
+7. **Atomic commit** carrying data, the ``(epoch, max_lsn)`` marker, and the
+   per-bucket lineage file path (M1) in one snapshot — exactly-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from pgoutput2json_spark.lake.table import LakeTable
+from pgoutput2json_spark.operators.explode import explode_key_updates, split_truncate
+from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
+from pgoutput2json_spark.operators.merge import merge_groups, touched_buckets
+from pgoutput2json_spark.operators.parse import parse_events, relation_versions_in_batch
+from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema, oid_to_spark_type
+from pgoutput2json_spark.sources.events import read_events, read_events_stream
+
+
+@dataclass
+class EngineOptions:
+    table_root: str
+    events_dir: str
+    checkpoint_dir: str
+    event_format: str = "jsonl"          # jsonl | parquet
+    bucket_count: int = 16
+    max_files_per_trigger: int | None = None
+    table_filter: str | None = None      # only apply events of this table
+    emit_lineage: bool = True
+
+
+def _relation_fields(rel: RelationSchema) -> list[dict]:
+    return [
+        {"name": c.name, "type": oid_to_spark_type(c.oid).simpleString(), "oid": c.oid}
+        for c in rel.columns
+    ]
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, opts: EngineOptions):
+        self.spark = spark
+        self.opts = opts
+        self.table = self._ensure_table()
+
+    # ------------------------------------------------------------ setup
+
+    def _ensure_table(self) -> LakeTable:
+        if LakeTable.exists(self.opts.table_root):
+            return LakeTable(self.spark, self.opts.table_root)
+        rel = DOCS_RELATION
+        return LakeTable.create(
+            self.spark,
+            self.opts.table_root,
+            schema=_relation_fields(rel),
+            bucket_column=rel.key_columns[0],
+            bucket_count=self.opts.bucket_count,
+            properties={"cdc.relation": rel.to_json()},
+        )
+
+    def _run_id(self) -> str:
+        """Stable id per checkpoint lineage: epoch markers are only trusted
+        within the same checkpoint; a fresh checkpoint falls back to the LSN
+        watermark (D2) for exactly-once."""
+        os.makedirs(self.opts.checkpoint_dir, exist_ok=True)
+        p = os.path.join(self.opts.checkpoint_dir, "_cdc_run_id")
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(uuid.uuid4().hex)
+        with open(p) as f:
+            return f.read().strip()
+
+    def base_relation(self) -> RelationSchema:
+        return RelationSchema.from_json(
+            self.table.property("cdc.relation", DOCS_RELATION.to_json())
+        )
+
+    # ------------------------------------------------------------ bootstrap
+
+    def bootstrap(self, df: DataFrame) -> None:
+        """S3 initial snapshot: one-time batch append before streaming starts
+        (reference DataExporter.cs:104-272; snapshot rows carry w=0 so they
+        never win dedup against stream events)."""
+        self.table.append(
+            df.select(*self.table.column_names()),
+            summary={"operation": "bootstrap"},
+        )
+
+    # ------------------------------------------------------------ the batch
+
+    def apply_batch(self, events: DataFrame, epoch_id: int) -> dict:
+        table, opts = self.table, self.opts
+        run_id = self._run_id()
+        if (
+            table.property("cdc.run-id") == run_id
+            and epoch_id <= table.committed_epoch()
+        ):
+            return {"skipped": True, "epoch": epoch_id}
+
+        if opts.table_filter:
+            events = events.filter(F.col("t") == opts.table_filter)
+        events = events.persist()
+        try:
+            head = events.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("w").alias("max_lsn"),
+            ).first()
+            n_events = int(head["n"])
+            if n_events == 0:
+                return {"skipped": True, "empty": True, "epoch": epoch_id}
+            batch_max_lsn = int(head["max_lsn"])
+
+            # E1/E2 — evolve before parse/merge (idempotent metadata commit)
+            base = self.base_relation()
+            versions = relation_versions_in_batch(events, base)
+            latest_rel = versions[-1][1]
+            if len(versions) > 1:
+                table.evolve(
+                    _relation_fields(latest_rel),
+                    summary={"epoch": epoch_id, "reason": "relation-message"},
+                )
+            fields = table.schema_fields()
+            field_names = [f["name"] for f in fields]
+
+            parsed = parse_events(events, versions, fields)
+
+            # D2 — committed-LSN dedup (skip replayed events)
+            committed = table.committed_lsn()
+            parsed = parsed.filter(F.col("lsn") > F.lit(committed))
+
+            # A5 — truncate epoch split
+            parsed, truncate_lsn = split_truncate(parsed)
+            truncating = truncate_lsn is not None
+
+            flat = explode_key_updates(parsed, field_names)
+            flat = snapshot_cut(flat, field_names)
+            grouped = group_events(flat, field_names).persist()
+
+            buckets = touched_buckets(grouped, table)
+            replaced = table.touched_buckets() if truncating else buckets
+            target = (
+                self.spark.createDataFrame([], table.spark_schema())
+                if truncating
+                else table.read(buckets)
+            )
+
+            obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
+            result = merge_groups(table, grouped, target, obs)
+
+            expected_version = table.current_version()
+            new_files = table.write_data_files(result, expected_version + 1)
+            merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
+
+            lineage_path = None
+            if opts.emit_lineage:
+                lineage_path = self._write_lineage(grouped, epoch_id)
+            grouped.unpersist()
+
+            summary = {
+                "operation": "cdc-apply",
+                "epoch": epoch_id,
+                "run-id": run_id,
+                "n-events": n_events,
+                "max-lsn": batch_max_lsn,
+                "truncate-lsn": truncate_lsn,
+                "touched-buckets": buckets,
+                "lineage": lineage_path,
+                **{f"merge.{k}": v for k, v in merge_stats.items()},
+            }
+            new_max = max(batch_max_lsn, committed)
+            table.commit_replace_buckets(
+                new_files,
+                replaced_buckets=replaced,
+                summary=summary,
+                properties={
+                    "cdc.last-epoch": epoch_id,
+                    "cdc.max-lsn": new_max,
+                    "cdc.run-id": run_id,
+                    "cdc.relation": latest_rel.to_json(),
+                },
+                expected_version=expected_version,
+                truncate_all=truncating,
+            )
+            return summary
+        finally:
+            events.unpersist()
+
+    def _write_lineage(self, grouped: DataFrame, epoch_id: int) -> str:
+        """M1 — per-bucket lineage (min/max LSN, event counts) for this
+        micro-batch; the file path is recorded in the same snapshot commit,
+        so lineage is exactly-once too."""
+        rel = f"lineage/epoch={epoch_id}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.table.root, rel)
+        (
+            grouped.groupBy(self.table.bucket_expr("doc_id").alias("bucket"))
+            .agg(
+                F.lit(epoch_id).alias("epoch"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n_events").alias("n_events"),
+                F.min("min_lsn").alias("min_lsn"),
+                F.max("max_lsn").alias("max_lsn"),
+                F.sum("n_i").alias("n_insert"),
+                F.sum("n_u").alias("n_update"),
+                F.sum("n_d").alias("n_delete"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return rel
+
+    def read_lineage(self) -> DataFrame | None:
+        paths = [
+            os.path.join(self.table.root, s["summary"]["lineage"])
+            for s in self.table.snapshots()
+            if s.get("summary", {}).get("lineage")
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------ run modes
+
+    def replay_batch(self) -> dict:
+        """One-shot batch replay of the whole events directory (bench &
+        tests fast path; identical apply logic)."""
+        df = read_events(self.spark, self.opts.events_dir, self.opts.event_format)
+        return self.apply_batch(df, epoch_id=self.table.committed_epoch() + 1)
+
+    def start_stream(self, available_now: bool = True, processing_time: str | None = None):
+        """Run the Structured Streaming query (checkpoint = replication slot,
+        S2).  ``available_now`` drains all current files then stops."""
+        stream = read_events_stream(
+            self.spark,
+            self.opts.events_dir,
+            self.opts.event_format,
+            self.opts.max_files_per_trigger,
+        )
+        writer = stream.writeStream.foreachBatch(
+            lambda df, eid: self.apply_batch(df, eid)
+        ).option("checkpointLocation", self.opts.checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_until_drained(self, timeout_sec: int = 600) -> None:
+        q = self.start_stream(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))

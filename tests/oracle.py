@@ -1,0 +1,114 @@
+"""Pure-Python serial replayer — the correctness oracle.
+
+Applies change events one at a time in ``(w, sub)`` order with exactly the
+reference's SQLite store-sink semantics
+(/root/reference/src/PgOutput2Json.Sqlite/SqliteConnectionExtensions.cs:218-423):
+
+- I: insert-on-conflict-do-nothing (:225-232)
+- U: update set columns, TOAST/absent skipped (:346-350), else-insert when
+  the key is missing (:234-241)
+- D: delete by key (:386-410)
+- key-change U (k != new key): delete old + apply under new key
+  (DynamoDb precedent, DynamoDbPublisher.cs:126-173)
+- T (truncate, our extension): clear the table
+- dedup: skip events with w <= last committed (ReplicationListener.cs:278-288)
+- relation message (s): schema evolution — later slots map to new columns
+"""
+
+from __future__ import annotations
+
+import json
+
+
+class Oracle:
+    def __init__(self, columns=("doc_id", "tokens", "n_tok", "source"), key="doc_id"):
+        self.columns = list(columns)
+        self.key = key
+        self.rows: dict[str, dict] = {}
+        self.last_lsn = -1
+
+    def _key_idx(self):
+        return self.columns.index(self.key)
+
+    def _parse_slot(self, raw):
+        if raw is None:
+            return None
+        if isinstance(raw, str) and raw.startswith("["):
+            return json.loads(raw)
+        return raw
+
+    def apply(self, ev: dict) -> None:
+        """ev: dict with c, w, optional t/s/k/r (k/r = positional lists whose
+        elements are python values or raw-JSON strings)."""
+        if ev.get("s"):
+            rel = ev["s"] if isinstance(ev["s"], list) else json.loads(ev["s"])
+            self.columns = [spec[0] for spec in rel[1:]]
+        c = ev["c"]
+        if c == "T":
+            self.rows.clear()
+            return
+        k, r = ev.get("k"), ev.get("r")
+        ki = self._key_idx()
+        old_key = k[ki] if k else None
+        new_key = r[ki] if r else None
+
+        if c == "D":
+            key = old_key if old_key is not None else new_key
+            self.rows.pop(key, None)
+            return
+
+        if c == "U" and old_key is not None and new_key is not None and old_key != new_key:
+            self.rows.pop(old_key, None)  # key migration: delete old
+
+        key = new_key if new_key is not None else old_key
+
+        def row_values():
+            out = {}
+            for i, col in enumerate(self.columns):
+                if r is not None and i < len(r):
+                    v = r[i]
+                    if v == "__TOAST__" or v == '"__TOAST__"':
+                        out[col] = ("__TOAST__",)
+                    else:
+                        out[col] = (self._parse_slot(v),)
+                else:
+                    out[col] = None  # absent slot
+            return out
+
+        vals = row_values()
+        if c == "I":
+            if key in self.rows:
+                return  # ON CONFLICT DO NOTHING
+            self.rows[key] = {
+                col: (None if v is None or v == ("__TOAST__",) else v[0])
+                for col, v in vals.items()
+            }
+        elif c == "U":
+            if key in self.rows:
+                cur = self.rows[key]
+                for col, v in vals.items():
+                    if v is None or v == ("__TOAST__",):
+                        continue  # skip absent / TOAST
+                    cur[col] = v[0]
+                # evolution: ensure new columns exist
+                for col in self.columns:
+                    cur.setdefault(col, None)
+            else:
+                self.rows[key] = {
+                    col: (None if v is None or v == ("__TOAST__",) else v[0])
+                    for col, v in vals.items()
+                }
+
+    def replay(self, events) -> "Oracle":
+        """Replay a batch: drop already-committed LSNs (D2), apply the rest
+        serially in (w,) order; advance the committed watermark."""
+        for ev in sorted(events, key=lambda e: e["w"]):
+            if ev["w"] <= self.last_lsn:
+                continue
+            self.apply(ev)
+        if events:
+            self.last_lsn = max(self.last_lsn, max(e["w"] for e in events))
+        return self
+
+    def table(self) -> dict[str, dict]:
+        return self.rows

@@ -1,0 +1,207 @@
+"""FIXTURES.md §3 scenario matrix: engine replay vs the serial oracle.
+
+Each scenario builds a deterministic event sequence, replays it through the
+engine (batch path = identical apply logic to foreachBatch) and asserts
+per-row token-array equality against the pure-Python serial replayer that
+mirrors the reference's SQLite apply semantics
+(SqliteConnectionExtensions.cs:218-423).
+"""
+
+import os
+
+import pytest
+
+from tests.oracle import Oracle
+from tests.util import assert_matches_oracle, ev, make_engine, write_jsonl
+
+
+def run(spark, tmpdir_path, events, batches=None):
+    eng = make_engine(spark, tmpdir_path)
+    if batches is None:
+        batches = [events]
+    oracle = Oracle()
+    for i, batch in enumerate(batches):
+        write_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+    for i, batch in enumerate(batches):
+        df = spark.read.schema(
+            __import__("pgoutput2json_spark").EVENT_SCHEMA
+        ).json(os.path.join(eng.opts.events_dir, f"{i:03d}.jsonl"))
+        eng.apply_batch(df, epoch_id=i)
+        oracle.replay(batch)
+    assert_matches_oracle(eng, oracle)
+    return eng, oracle
+
+
+def test_insert_only(spark, tmpdir_path):
+    events = [
+        ev("I", 100 + i, [f"doc-{i:06d}", [i, i + 1, i + 2], 3, "web"])
+        for i in range(50)
+    ]
+    run(spark, tmpdir_path, events)
+
+
+def test_upsert_chain_lww(spark, tmpdir_path):
+    events = []
+    w = 10
+    for rnd in range(5):
+        for i in range(10):
+            events.append(ev("U", w, [f"doc-{i:06d}", [rnd, i], 2, "web"]))
+            w += 1
+    run(spark, tmpdir_path, events)
+
+
+def test_insert_on_conflict_ignored(spark, tmpdir_path):
+    """An insert for an existing key is a no-op (ON CONFLICT DO NOTHING) —
+    the case plain last-writer-wins gets wrong."""
+    events = [
+        ev("I", 1, ["doc-000001", [1, 2], 2, "web"]),
+        ev("I", 2, ["doc-000001", [9, 9, 9], 3, "code"]),  # must be ignored
+    ]
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert oracle.table()["doc-000001"]["tokens"] == [1, 2]
+
+
+def test_update_as_insert(spark, tmpdir_path):
+    events = [ev("U", 5, ["doc-000042", [7, 7], 2, "books"])]
+    eng, _ = run(spark, tmpdir_path, events)
+    from tests.util import table_state
+
+    assert table_state(eng)["doc-000042"]["tokens"] == [7, 7]
+
+
+def test_delete(spark, tmpdir_path):
+    events = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"]),
+        ev("I", 2, ["doc-000002", [2], 1, "web"]),
+        ev("D", 3, k=["doc-000001", None, None, None]),
+    ]
+    run(spark, tmpdir_path, events)
+
+
+def test_delete_then_reinsert(spark, tmpdir_path):
+    events = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"]),
+        ev("D", 2, k=["doc-000001", None, None, None]),
+        ev("I", 3, ["doc-000001", [3, 3], 2, "code"]),
+    ]
+    run(spark, tmpdir_path, events)
+
+
+def test_key_update(spark, tmpdir_path):
+    """U with k != new key: old key's row is removed, row appears under the
+    new key (DynamoDbPublisher.cs:126-173 delete-old + create-new)."""
+    events = [
+        ev("I", 1, ["doc-000001", [1, 1], 2, "web"]),
+        ev("U", 2, ["doc-000009", [2, 2], 2, "web"], k=["doc-000001", None, None, None]),
+    ]
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert "doc-000001" not in oracle.table()
+    assert oracle.table()["doc-000009"]["tokens"] == [2, 2]
+
+
+def test_toast_preserve(spark, tmpdir_path):
+    """Update with tokens='__TOAST__' keeps the stored token array and
+    updates the other columns (JsonWriter.cs:306-309 sentinel; skip-on-apply
+    SqliteConnectionExtensions.cs:346-350)."""
+    events = [
+        ev("I", 1, ["doc-000001", [5, 6, 7], 3, "web"]),
+        ev("U", 2, ["doc-000001", "__TOAST__", 3, "books"]),
+    ]
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert oracle.table()["doc-000001"]["tokens"] == [5, 6, 7]
+    assert oracle.table()["doc-000001"]["source"] == "books"
+
+
+def test_toast_after_delete_is_null(spark, tmpdir_path):
+    """U(TOAST) for a deleted key inserts with tokens NULL (update-else-insert
+    writes only provided, non-TOAST columns)."""
+    events = [
+        ev("I", 1, ["doc-000001", [5], 1, "web"]),
+        ev("D", 2, k=["doc-000001", None, None, None]),
+        ev("U", 3, ["doc-000001", "__TOAST__", 1, "code"]),
+    ]
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert oracle.table()["doc-000001"]["tokens"] is None
+
+
+def test_duplicate_lsn_replay(spark, tmpdir_path):
+    """Replaying an already-committed batch changes nothing (D2 dedup —
+    ReplicationListener.cs:278-288)."""
+    b1 = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"]),
+        ev("U", 2, ["doc-000001", [2, 2], 2, "web"]),
+    ]
+    b2 = b1 + [ev("U", 3, ["doc-000001", [3], 1, "web"])]  # replays 1,2
+    eng, oracle = run(spark, tmpdir_path, None, batches=[b1, b2])
+    assert oracle.table()["doc-000001"]["tokens"] == [3]
+
+
+def test_out_of_order_within_batch(spark, tmpdir_path):
+    events = [
+        ev("U", 5, ["doc-000001", [5], 1, "web"]),
+        ev("I", 1, ["doc-000001", [1], 1, "web"]),
+        ev("D", 3, k=["doc-000001", None, None, None]),
+        ev("U", 2, ["doc-000001", [2], 1, "web"]),
+    ]
+    # serial order: I(1) U(2) D(3) U(5) -> row exists with tokens [5]
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert oracle.table()["doc-000001"]["tokens"] == [5]
+
+
+def test_truncate(spark, tmpdir_path):
+    events = (
+        [ev("I", i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(1, 20)]
+        + [ev("T", 50)]
+        + [ev("I", 60 + i, [f"doc-9{i:05d}", [9, i], 2, "code"]) for i in range(5)]
+    )
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert len(oracle.table()) == 5
+
+
+def test_truncate_across_batches(spark, tmpdir_path):
+    b1 = [ev("I", i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(1, 10)]
+    b2 = [ev("T", 20), ev("I", 30, ["doc-000099", [4, 2], 2, "books"])]
+    eng, oracle = run(spark, tmpdir_path, None, batches=[b1, b2])
+    assert set(oracle.table()) == {"doc-000099"}
+
+
+def test_snapshot_bootstrap_w0(spark, tmpdir_path):
+    """w=0 snapshot rows (DataExporter.cs:224) are applied once and never win
+    against stream events."""
+    snap = [ev("I", 0, [f"doc-{i:06d}", [i], 1, "snapshot"]) for i in range(10)]
+    stream = [ev("U", 100, ["doc-000003", [42], 1, "web"])]
+    eng, oracle = run(spark, tmpdir_path, None, batches=[snap, stream])
+    assert oracle.table()["doc-000003"]["tokens"] == [42]
+    assert oracle.table()["doc-000000"]["source"] == "snapshot"
+
+
+def test_hot_key_skew_partitioned(spark, tmpdir_path):
+    """Scenario 11: events over many buckets with one hot key carrying ~30%
+    of the batch; exercises the snapshot-cut pre-reduce path."""
+    events = []
+    w = 1
+    for i in range(300):
+        if i % 3 == 0:
+            events.append(ev("U", w, ["doc-000000", [i, i], 2, "web"]))
+        else:
+            events.append(ev("U", w, [f"doc-{i:06d}", [i], 1, "code"]))
+        w += 1
+    # hot key gets trailing TOAST + delete + reinsert churn
+    events += [
+        ev("U", w + 1, ["doc-000000", "__TOAST__", 2, "books"]),
+        ev("D", w + 2, k=["doc-000000", None, None, None]),
+        ev("U", w + 3, ["doc-000000", "__TOAST__", 0, "books"]),
+    ]
+    eng, oracle = run(spark, tmpdir_path, events)
+    assert oracle.table()["doc-000000"]["tokens"] is None
+
+
+def test_nulls_positional(spark, tmpdir_path):
+    """Compact mode writes nulls positionally (JsonWriter.cs:253-257)."""
+    events = [
+        ev("I", 1, ["doc-000001", None, None, "web"]),
+        ev("U", 2, ["doc-000001", [1, 2], None, None]),
+    ]
+    eng, oracle = run(spark, tmpdir_path, events)
+    t = oracle.table()["doc-000001"]
+    assert t["tokens"] == [1, 2] and t["n_tok"] is None and t["source"] is None

@@ -1,0 +1,69 @@
+"""Shared helpers: hand-crafted event construction, engine harness, and
+engine-vs-oracle table comparison (per-row token-array equality)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+TABLE = "public.docs"
+
+
+def ev(c, w, r=None, k=None, s=None, t=TABLE):
+    """Build one compact-format event dict. r/k are python lists (tokens as
+    list[int]); converted to reference JSON-line form on write."""
+    e = {"c": c, "w": w, "t": t}
+    if s is not None:
+        e["s"] = s
+    if k is not None:
+        e["k"] = k
+    if r is not None:
+        e["r"] = r
+    return e
+
+
+def write_jsonl(events: list[dict], path: str, filename: str = "000.jsonl") -> str:
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, filename)
+    with open(fp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    return fp
+
+
+def make_engine(spark, root: str, fmt: str = "jsonl", bucket_count: int = 8) -> CdcEngine:
+    opts = EngineOptions(
+        table_root=os.path.join(root, "table"),
+        events_dir=os.path.join(root, "events"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        event_format=fmt,
+        bucket_count=bucket_count,
+    )
+    return CdcEngine(spark, opts)
+
+
+def table_state(engine: CdcEngine) -> dict[str, dict]:
+    """Engine table as {doc_id: {col: value}} with token arrays as lists."""
+    cols = engine.table.column_names()
+    out = {}
+    for row in engine.table.read().collect():
+        d = row.asDict(recursive=True)
+        key = d[engine.table.bucket_column]
+        out[key] = {c: (list(d[c]) if isinstance(d[c], list) else d[c]) for c in cols}
+    return out
+
+
+def assert_matches_oracle(engine: CdcEngine, oracle) -> None:
+    got = table_state(engine)
+    # align column sets (oracle may lack evolved columns on old rows)
+    cols = engine.table.column_names()
+    want = {k: {c: v.get(c) for c in cols} for k, v in oracle.table().items()}
+    assert set(got.keys()) == set(want.keys()), (
+        f"key sets differ: extra={set(got) - set(want)} missing={set(want) - set(got)}"
+    )
+    for k in want:
+        for c in cols:
+            gv, wv = got[k].get(c), want[k].get(c)
+            assert gv == wv, f"row {k} col {c}: engine={gv!r} oracle={wv!r}"
