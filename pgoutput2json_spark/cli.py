@@ -1,0 +1,143 @@
+"""spark-submit entrypoint (M2 orchestration).
+
+Usage (cluster):
+    spark-submit --py-files pgoutput2json_spark.zip -m pgoutput2json_spark.cli ...
+
+Usage (local, two parallelism levels for the scaling bench):
+    python -m pgoutput2json_spark.cli generate --events-dir /tmp/ev --n-events 1000000
+    python -m pgoutput2json_spark.cli replay   --events-dir /tmp/ev --table /tmp/tbl \
+        --checkpoint /tmp/ckpt --master 'local[8]'
+    python -m pgoutput2json_spark.cli replay   ... --master 'local[32]'
+
+Subcommands:
+  generate   deterministic synthetic WAL segments (seeded)
+  bootstrap  initial snapshot load (S3)
+  replay     drain the event directory through Structured Streaming
+  show       table state / snapshots / lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(master: str | None, shuffle_partitions: int | None, app: str) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pgoutput2json_spark")
+    p.add_argument("--master", default=None, help="spark master (default: from spark-submit)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--events-dir", required=True)
+    g.add_argument("--n-events", type=int, default=100_000)
+    g.add_argument("--n-keys", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    g.add_argument("--n-files", type=int, default=16)
+    g.add_argument("--snapshot-keys", type=int, default=0)
+    g.add_argument("--hot-pct", type=int, default=10)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--events-dir", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    r.add_argument("--buckets", type=int, default=16)
+    r.add_argument("--max-files-per-trigger", type=int, default=None)
+    r.add_argument("--batch-mode", action="store_true",
+                   help="single-batch replay (no streaming) — bench fast path")
+
+    s = sub.add_parser("show")
+    s.add_argument("--table", required=True)
+    s.add_argument("--what", default="state", choices=["state", "snapshots", "lineage"])
+
+    args = p.parse_args(argv)
+    spark = build_spark(args.master, args.shuffle_partitions, f"pg2spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "generate":
+        from pgoutput2json_spark.sources.generator import (
+            GeneratorSpec,
+            generate_events,
+            write_events,
+        )
+
+        spec = GeneratorSpec(
+            n_events=args.n_events,
+            n_keys=args.n_keys,
+            seed=args.seed,
+            snapshot_keys=args.snapshot_keys,
+            hot_pct=args.hot_pct,
+        )
+        t0 = time.time()
+        write_events(generate_events(spark, spec), args.events_dir, args.format, args.n_files)
+        print(json.dumps({"generated": args.n_events, "sec": round(time.time() - t0, 2)}))
+
+    elif args.cmd == "replay":
+        from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+        eng = CdcEngine(
+            spark,
+            EngineOptions(
+                table_root=args.table,
+                events_dir=args.events_dir,
+                checkpoint_dir=args.checkpoint,
+                event_format=args.format,
+                bucket_count=args.buckets,
+                max_files_per_trigger=args.max_files_per_trigger,
+            ),
+        )
+        t0 = time.time()
+        if args.batch_mode:
+            summary = eng.replay_batch()
+        else:
+            eng.run_until_drained()
+            summary = eng.table.snapshot()["summary"]
+        dt = time.time() - t0
+        n = int(eng.table.property("cdc.max-lsn", 0))
+        print(json.dumps({"sec": round(dt, 2), "last_summary": summary}, default=str))
+
+    elif args.cmd == "show":
+        from pgoutput2json_spark.lake.table import LakeTable
+
+        tbl = LakeTable(spark, args.table)
+        if args.what == "state":
+            tbl.read().show(50, truncate=60)
+        elif args.what == "snapshots":
+            for s_ in tbl.snapshots():
+                print(json.dumps({k: s_[k] for k in ("version", "summary")}, default=str))
+        else:
+            from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+            paths = [s_["summary"].get("lineage") for s_ in tbl.snapshots()]
+            paths = [f"{tbl.root}/{x}" for x in paths if x]
+            if paths:
+                spark.read.parquet(*paths).orderBy("epoch", "bucket").show(100)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,7 +38,7 @@ def pg_number(col: Column, dtype: str = "double") -> Column:
     lowered = F.lower(col)
     bad = lowered.isin("nan", "infinity", "-infinity", "inf", "-inf")
     return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(
-        F.when(bad, F.lit(0)).otherwise(col).cast(dtype)
+        F.when(bad, F.lit(0).cast(dtype)).otherwise(col.cast(dtype))
     )
 
 

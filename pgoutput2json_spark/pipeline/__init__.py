@@ -1,0 +1,19 @@
+"""Large-scale training-data pipeline operators over the lake.
+
+These are the first-class data-processing components a 100 TB training-data
+ingest needs beyond CDC replay: deduplication (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding near-dup), similarity search (brute-force +
+LSH-bucketed ANN), text analysis (language-ID, quality scoring, token
+counting, fingerprinting) and multimodal column plumbing.
+
+Design rules: JVM/Catalyst expressions first (whole-stage codegen); every
+hash is md5-based so results are engine-reproducible (the DuckDB oracles in
+``__spark_entry__.py`` recompute them exactly); shuffles happen on
+pre-hashed compact keys; candidate generation is always index-style
+(shingle/band/bucket join), never O(n^2), with the brute-force variants kept
+for small-scale verification.
+"""
+
+from pgoutput2json_spark.pipeline import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is md5-based (identical across engines, so the DuckDB oracles can
+recompute bit-for-bit).  The scale architecture:
+
+- exact: one hash-aggregate on md5(normalized text) — map-side combinable.
+- n-gram Jaccard: candidates via a shingle-hash equi-join (only pairs sharing
+  at least one shingle ever meet — an inverted index, not O(n^2)), then exact
+  Jaccard on distinct-shingle arrays.
+- MinHash+LSH: K min-hashes per doc (one explode + one groupBy), banded into
+  B band-signatures; candidate pairs share a band bucket — the classic
+  shingle->minhash->band->bucket-join pipeline.  At 100 TB the band join
+  shuffles only (band_id, band_hash, doc_id) tuples.
+- SimHash: 32-bit signature from per-word hash bits weighted ±1; near-dup =
+  hamming distance <= d via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ------------------------------------------------------------------ helpers
+
+
+def norm_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (engine-portable:
+    DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (sorted for
+    determinism)."""
+    words = F.split(norm_text(text), " ")
+    n = F.size(words)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.array_sort(F.array_distinct(sh))
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups by content hash.  Returns one row per distinct
+    content: (content_hash, group_size, keep_id = min id)."""
+    h = F.md5(norm_text(F.col(text_col))).alias("content_hash")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id document of each exact-duplicate group."""
+    groups = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(groups, id_col, "left_semi")
+
+
+# ------------------------------------------------------------------ jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs with k-gram Jaccard >= threshold.
+
+    Candidates come from an inverted shingle index (equi-join on the shingle
+    hash): any pair with Jaccard > 0 shares a shingle, so this loses nothing
+    vs brute force while shuffling only (shingle_hash, id) pairs.  Exact
+    Jaccard is then |A∩B| / (|A|+|B|-|A∩B|) from the per-pair intersection
+    count — no arrays are carried through the join.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("id", F.md5("shingle").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K MinHash values per document: sig_j = min(md5(j || ':' || shingle)).
+
+    md5-string min is engine-portable (lexicographic order on hex); one
+    explode of (shingle x hash-seed) then a map-side-combinable min
+    aggregate.  Output: (id, mh_0..mh_{K-1}).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the K signatures into B bands; pairs
+    sharing any band bucket are candidates; verify with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) for verified candidates."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs")
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sa"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document SimHash: each distinct word contributes ±1 to each bit
+    position according to its 60-bit md5; signature bit i = 1 iff the sum is
+    positive.  Pure integer arithmetic — bit-identical in any engine."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(norm_text(F.col(text_col)), " "))).alias("w"),
+    ).withColumn("h", md5_long(F.col("w")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    sums = words.groupBy("id").agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidates via banding the signature into 4 chunks (pigeonhole: any pair
+    within hamming d <= 6 agrees on at least one 8-bit chunk when d < 4...
+    for small d; chunk-join keeps this O(candidates), with the exact hamming
+    filter after).
+    """
+    s = simhash(docs, bits, text_col, id_col)
+    nchunks = 4
+    width = bits // nchunks
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("v"),
+            )
+            for c in range(nchunks)
+        ]
+    )
+    cs = s.select("id", "simhash", F.explode(chunks).alias("e")).select(
+        "id", "simhash", F.col("e.c").alias("c"), F.col("e.v").alias("v")
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

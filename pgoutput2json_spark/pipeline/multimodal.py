@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the *decode*
+kernels are stubbed behind a deterministic fake (or raise
+NotImplementedError when ``strict=True``); everything Spark-side is real and
+tested: binary payload columns with typed metadata, Arrow-batched
+``mapInPandas`` decode signatures, per-batch vectorization, partition-stable
+output schemas.  Swapping in a real decoder changes only the numpy body of
+one generator function.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+#: schema of the media table: payloads are opaque bytes + typed metadata
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_frames int"
+)
+
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media derived from document content: payload =
+    md5-chained bytes, metadata from content hash — a stand-in for real
+    image/audio blobs with realistic column shapes."""
+    h = F.md5(F.col(text_col))
+    payload = F.unhex(F.concat(h, F.reverse(h), F.md5(F.concat(h, F.lit("x")))))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        (F.pmod(F.conv(F.substring(h, 9, 4), 16, 10).cast("long"), F.lit(1920)) + 16)
+        .cast("int").alias("width"),
+        (F.pmod(F.conv(F.substring(h, 13, 4), 16, 10).cast("long"), F.lit(1080)) + 16)
+        .cast("int").alias("height"),
+        F.lit(16_000).alias("sample_rate"),
+        (F.pmod(F.conv(F.substring(h, 17, 4), 16, 10).cast("long"), F.lit(240)) + 1)
+        .cast("int").alias("n_frames"),
+    )
+
+
+def _fake_decode(payload: bytes, n_feat: int) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: hash-expand the payload
+    into n_feat floats in [0, 1).  REPLACE with e.g. PIL+resnet features."""
+    out = np.empty(n_feat, dtype=np.float32)
+    buf = payload
+    i = 0
+    while i < n_feat:
+        buf = hashlib.md5(buf).digest()
+        take = min(len(buf), n_feat - i)
+        out[i : i + take] = np.frombuffer(buf[:take], dtype=np.uint8) / 256.0
+        i += take
+    return out
+
+
+def image_features(
+    media: DataFrame, n_feat: int = 16, strict: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over image payloads.
+
+    Real plumbing: mapInPandas over (media_id, payload) with a stable output
+    schema; the decode body is the stub.  ``strict=True`` raises
+    NotImplementedError where a real codec would be required.
+    """
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image decode requires PIL/torchvision — not in this "
+                "container; deterministic fake used when strict=False"
+            )
+        for pdf in it:
+            if pdf.empty:
+                continue
+            feats = [
+                _fake_decode(bytes(p), n_feat).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        extract, schema="media_id long, features array<float>"
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame with
+    a deterministic per-frame payload slice (stand-in for ffmpeg seeks).
+    JVM-side explode — the expensive decode would live in a downstream
+    mapInPandas exactly like ``image_features``."""
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(frames).alias("frame_idx"),
+            F.col("payload"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.substring(
+                F.base64("payload"), (F.pmod(F.col("frame_idx"), F.lit(16)) + 1).cast("int"), 16
+            ).alias("frame_sig"),
+        )
+    )
+
+
+def audio_window_stats(media: DataFrame, window_bytes: int = 8) -> DataFrame:
+    """Audio feature plumbing: fixed-size windows over the payload with
+    per-window byte statistics (stand-in for spectrogram frames), Arrow
+    batched."""
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = {"media_id": [], "window": [], "mean_amp": [], "peak": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = len(arr) // window_bytes
+                wins = arr[: n * window_bytes].reshape(n, window_bytes)
+                rows["media_id"].extend([mid] * n)
+                rows["window"].extend(range(n))
+                rows["mean_amp"].extend(np.round(wins.mean(axis=1) / 255.0, 6))
+                rows["peak"].extend((wins.max(axis=1)).astype(int))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        stats, schema="media_id long, window int, mean_amp double, peak int"
+    )

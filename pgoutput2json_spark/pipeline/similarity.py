@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``brute_force_topk``: exact baseline.  The dot product is a
+  JVM higher-order expression (zip_with + left-fold aggregate — fixed
+  evaluation order, hence engine-reproducible after rounding).
+- ``topk_gemm``: the throughput path — broadcast the query matrix, numpy GEMM
+  per Arrow batch via mapInPandas (vectorized, no per-row Python).
+- ``ann_lsh_topk``: the scale path — sign-random-projection LSH buckets from
+  deterministic md5-derived hyperplanes; candidates probe only their bucket,
+  so the per-query work is O(bucket), not O(N).
+- ``cosine_neardup_pairs``: embedding near-duplicate detection (pairs above a
+  cosine threshold) via the same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pgoutput2json_spark.pipeline.dedup import md5_long
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (broadcast the queries —
+    the fact table is never shuffled).  Deterministic tie-break on id."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 4).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "score")
+        .orderBy(q_id_col, "rank")
+    )
+
+
+def topk_gemm(
+    vectors: DataFrame,
+    queries_pd: pd.DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-vectorized top-k: numpy GEMM of each partition's batch against
+    the broadcast query matrix, emitting per-partition top-k candidates that
+    a final small aggregation reduces — the pattern that survives 100 TB
+    (per-executor GEMM, tiny shuffle of k*Q candidates per partition)."""
+    spark = vectors.sparkSession
+    qm = np.stack(queries_pd["q_vec"].to_numpy()).astype(np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = queries_pd["q_id"].to_numpy()
+    bqn = spark.sparkContext.broadcast(qn)
+    bqid = spark.sparkContext.broadcast(qids)
+
+    def gemm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            scores = m @ bqn.value.T  # (batch, Q)
+            topn = min(k, scores.shape[0])
+            idx = np.argpartition(-scores, topn - 1, axis=0)[:topn]
+            out = {
+                "q_id": np.repeat(bqid.value, topn),
+                id_col: pdf[id_col].to_numpy()[idx].T.ravel(),
+                "score": np.round(np.take_along_axis(scores, idx, 0).T.ravel(), 4),
+            }
+            yield pd.DataFrame(out)
+
+    cand = vectors.select(id_col, vec_col).mapInPandas(
+        gemm, schema=f"q_id long, {id_col} long, score double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "score")
+        .orderBy("q_id", "rank")
+    )
+
+
+# ----------------------------------------------------------------- LSH (SRP)
+
+
+def srp_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id: bit j = sign(dot(vec, h_j)) with
+    deterministic pseudo-random hyperplane h_j[d] derived from md5(j, d)
+    (uniform in [-1000, 1000]) — identical in any engine, no RNG state."""
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):
+        comps = F.array(
+            *[
+                ((md5_long(F.lit(f"srp:{j}:{d}")) % 2001) - 1000).cast("double")
+                for d in range(dim)
+            ]
+        )
+        d_ = F.aggregate(
+            F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d_ > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket; exact
+    cosine re-rank within the bucket.  At scale the bucketed join replaces
+    the cross join — per-query cost is O(N / 2^planes)."""
+    v = vectors.withColumn("bucket", srp_bucket(F.col(vec_col), dim, planes))
+    q = queries.withColumn("bucket", srp_bucket(F.col("q_vec"), dim, planes))
+    j = v.join(F.broadcast(q), "bucket")
+    scored = j.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "score")
+        .orderBy("q_id", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold), candidates from
+    shared SRP buckets (high-cosine pairs collide with high probability)."""
+    v = vectors.withColumn("bucket", srp_bucket(F.col(vec_col), dim, planes))
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

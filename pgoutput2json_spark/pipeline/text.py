@@ -1,0 +1,105 @@
+"""Text analysis for training-data curation: language-ID, quality scoring,
+token counting, fingerprinting.  All pure Catalyst arithmetic — every score
+is exactly reproducible in the DuckDB oracles (no floats without rounding,
+no RNG, no external models)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pgoutput2json_spark.pipeline.dedup import md5_long, norm_text
+
+#: tiny deterministic stopword profiles (n-gram-heuristic language ID)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una", "por", "para"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(norm_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap len(text.split())); BPE-ish subword
+    estimate = ceil(chars/4) is provided by ``subword_estimate``."""
+    return F.size(words(text))
+
+
+def subword_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: ~4 chars/token on latin text."""
+    return F.ceil(F.length(norm_text(text)) / F.lit(4.0)).cast("int")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words(text)), profile))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by distinct-stopword hits, deterministic tie-break on
+    language code; 'und' (undetermined) when no profile matches."""
+    scored = F.array(
+        *[
+            F.struct(stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    # lexicographic sort on (-hits, lang): most hits first, tie-break by
+    # ascending language code — deterministic in any engine
+    ordered = F.array_sort(
+        F.transform(
+            scored, lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"))
+        )
+    )
+    first = F.element_at(ordered, 1)
+    return F.when(first["neg"] < 0, first["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality signals: length, word stats, stopword ratio,
+    alpha ratio, and a composite score in [0,1].  Rounded to 6 dp so the
+    DuckDB oracle matches exactly."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(norm_text(t))
+    mean_wlen = F.round((n_chars - (n_words - 1)) / n_words.cast("double"), 6)
+    stop_ratio = F.round(
+        stopword_hits(t, "en") / F.greatest(F.size(F.array_distinct(w)), F.lit(1)).cast("double"),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(norm_text(t), r"[^a-z ]", "")) / F.greatest(n_chars, F.lit(1)).cast("double"),
+        6,
+    )
+    score = F.round(
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.3
+        + stop_ratio * 0.3
+        + alpha_ratio * 0.4,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_norm"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full content md5 + a 60-bit integer fingerprint
+    (usable as a dedup/shard key) + first-8-word prefix hash (header
+    fingerprint for boilerplate detection)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm_text(t)).alias("content_md5"),
+        md5_long(norm_text(t)).alias("fp64"),
+        F.md5(F.concat_ws(" ", F.slice(words(t), 1, 8))).alias("prefix_md5"),
+    )

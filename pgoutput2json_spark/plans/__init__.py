@@ -1,0 +1,3 @@
+from pgoutput2json_spark.plans.apply import apply_change_events
+
+__all__ = ["apply_change_events"]

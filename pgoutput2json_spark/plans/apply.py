@@ -1,0 +1,72 @@
+"""Pure logical plan: apply a batch of parsed change events onto a target
+state — the engine's fold/merge pipeline without table I/O.
+
+Useful standalone (CDC semantics as a DataFrame->DataFrame transform for
+testing/verification against SQL oracles) and reused by the training-data
+entry queries.  Input shape (per operators/parse.py + explode.py):
+
+    key (any orderable type), lsn long, sub int, op string('I'|'U'|'D'),
+    f_<col> struct(set boolean, val <type>)  per payload column
+
+``fields``: [(name, spark simpleString)] — the payload column universe
+(must include the key column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pgoutput2json_spark.operators.fold import (
+    fold_final_state,
+    group_events,
+    snapshot_cut,
+)
+
+
+def apply_change_events(
+    events: DataFrame,
+    fields: list[tuple[str, str]],
+    key: str,
+    target: DataFrame | None = None,
+) -> DataFrame:
+    """Serial-apply-equivalent fold of ``events`` over ``target`` (empty if
+    None).  Events must already carry resolved keys in column ``doc_id``
+    (run operators/explode.py first if key-updates are possible)."""
+    field_names = [n for n, _ in fields]
+    flat = snapshot_cut(events, field_names)
+    grouped = group_events(flat, field_names)
+
+    spark = events.sparkSession
+    if target is None:
+        schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+        target = spark.createDataFrame([], schema)
+
+    t, u = target.alias("t"), grouped.alias("u")
+    joined = t.join(u, F.col(f"t.{key}") == F.col("u.doc_id"), "full_outer")
+    t_exists = F.col(f"t.{key}").isNotNull()
+    init = F.struct(
+        t_exists.alias("exists"),
+        *[F.col(f"t.{n}").cast(ty).alias(n) for n, ty in fields],
+    )
+    final = F.when(F.col("u.doc_id").isNull(), init).otherwise(
+        fold_final_state(F.col("u.evs"), init, fields)
+    )
+    staged = joined.select(
+        F.coalesce(F.col("u.doc_id"), F.col(f"t.{key}")).alias("__key"),
+        final.alias("__st"),
+    ).filter(F.col("__st.exists"))
+    return staged.select(
+        *[
+            F.col("__key").alias(n) if n == key else F.col(f"__st.{n}").alias(n)
+            for n, _ in fields
+        ]
+    )
+
+
+def fcol(set_cond, val, typ: str):
+    """Build an f_<name> payload struct column: (set boolean, val typ)."""
+    set_c = set_cond if hasattr(set_cond, "_jc") else F.lit(bool(set_cond))
+    return F.struct(
+        set_c.alias("set"),
+        F.when(set_c, val).cast(typ).alias("val"),
+    )

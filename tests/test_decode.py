@@ -1,0 +1,91 @@
+"""Encode/decode-kernel unit tests, porting the semantics of the reference's
+only unit suite (src/PgOutput2Json.Tests/JsonUtilsTest.cs:1-153):
+quote/escape handling, PG array -> JSON array conversion (quoted elements,
+embedded commas/braces, multidimensional), NaN/±Infinity -> 0, boolean t/f —
+against our vectorized decoders.
+"""
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.functions.decode import (
+    pg_bool,
+    pg_bytea,
+    pg_number,
+    pg_number_array,
+    pg_text_array,
+)
+
+
+def one(spark, col, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col(F.col("v")).alias("out")).first()["out"]
+
+
+def test_number_array_simple(spark):
+    assert one(spark, lambda c: pg_number_array(c, "int"), "{1,2,3}") == [1, 2, 3]
+
+
+def test_number_array_multidim_flattens(spark):
+    # JsonUtilsTest.cs:97-115 — multidim arrays convert recursively; our
+    # lake column is 1-D so the engine flattens
+    assert one(spark, lambda c: pg_number_array(c, "int"), "{{1,2},{3,4}}") == [1, 2, 3, 4]
+
+
+def test_number_array_nan_inf_to_zero(spark):
+    # JsonUtilsTest.cs:70-95 — NaN/Infinity/-Infinity become 0
+    got = one(spark, lambda c: pg_number_array(c, "double"), "{1.5,NaN,Infinity,-Infinity}")
+    assert got == [1.5, 0.0, 0.0, 0.0]
+
+
+def test_number_array_null_elements(spark):
+    assert one(spark, lambda c: pg_number_array(c, "int"), "{1,NULL,3}") == [1, None, 3]
+
+
+def test_number_scalar_nan(spark):
+    assert one(spark, lambda c: pg_number(c, "double"), "NaN") == 0.0
+    assert one(spark, lambda c: pg_number(c, "double"), "-Infinity") == 0.0
+    assert one(spark, lambda c: pg_number(c, "double"), "2.25") == 2.25
+
+
+def test_bool_t_prefix(spark):
+    # JsonUtilsTest.cs:117-131 — 't...' -> true else false
+    assert one(spark, pg_bool, "t") is True
+    assert one(spark, pg_bool, "true") is True
+    assert one(spark, pg_bool, "f") is False
+    assert one(spark, pg_bool, "false") is False
+
+
+def test_bytea_hex(spark):
+    got = one(spark, pg_bytea, "\\xDEADBEEF")
+    assert bytes(got) == bytes.fromhex("deadbeef")
+
+
+def test_text_array_plain(spark):
+    assert one(spark, pg_text_array, "{a,b,c}") == ["a", "b", "c"]
+
+
+def test_text_array_quoted_with_commas_braces(spark):
+    # JsonUtilsTest.cs:29-67 — quoted elements with embedded commas/braces
+    got = one(spark, pg_text_array, '{"a,b","c{d}e",plain}')
+    assert got == ["a,b", "c{d}e", "plain"]
+
+
+def test_text_array_escaped_quote(spark):
+    got = one(spark, pg_text_array, '{"he said \\"hi\\""}')
+    assert got == ['he said "hi"']
+
+
+def test_text_array_null_element(spark):
+    got = one(spark, pg_text_array, '{a,NULL,"NULL"}')
+    assert got == ["a", None, "NULL"]
+
+
+def test_tokens_pandas_udfs(spark):
+    from pgoutput2json_spark.functions.tokens import n_tok_pandas, tokens_digest
+
+    df = spark.createDataFrame([([1, 2, 3],), (None,)], "tokens array<int>")
+    rows = df.select(
+        n_tok_pandas("tokens").alias("n"), tokens_digest("tokens").alias("d")
+    ).collect()
+    assert rows[0]["n"] == 3 and rows[0]["d"] is not None
+    assert rows[1]["n"] is None and rows[1]["d"] is None

@@ -1,0 +1,101 @@
+"""Schema evolution (E1/E2): relation-message-driven add-column and
+int->bigint widening, applied transactionally before the merge; pre-evolution
+rows must read null / widened (FIXTURES.md scenario 9)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from tests.oracle import Oracle
+from tests.util import ev, make_engine, write_jsonl
+
+EVOLVED_S = (
+    '["public.docs",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],'
+    '["source",0,25],["lang",0,25]]'
+)
+WIDENED_S = (
+    '["public.docs",["doc_id",1,25],["tokens",0,1007],["n_tok",0,20],'
+    '["source",0,25],["lang",0,25]]'
+)
+
+
+def apply(spark, eng, batch, epoch):
+    fp = write_jsonl(batch, eng.opts.events_dir, f"{epoch:03d}.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(fp)
+    return eng.apply_batch(df, epoch_id=epoch)
+
+
+def test_add_column_mid_batch(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    batch = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"]),
+        # relation message rides on the first post-DDL event
+        ev("I", 2, ["doc-000002", [2], 1, "web", "en"], s=EVOLVED_S),
+        ev("U", 3, ["doc-000001", [1, 1], 2, "web", "fr"]),
+    ]
+    apply(spark, eng, batch, 0)
+    assert eng.table.column_names() == ["doc_id", "tokens", "n_tok", "source", "lang"]
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert rows["doc-000002"]["lang"] == "en"
+    assert rows["doc-000001"]["lang"] == "fr"
+
+
+def test_pre_evolution_rows_read_null(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    apply(spark, eng, [ev("I", 1, ["doc-000001", [1], 1, "web"])], 0)
+    apply(spark, eng, [ev("I", 10, ["doc-000002", [2], 1, "web", "en"], s=EVOLVED_S)], 1)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    # doc-000001's data file predates the evolution — metadata-only read
+    assert rows["doc-000001"]["lang"] is None
+    assert rows["doc-000002"]["lang"] == "en"
+
+
+def test_int_widen(spark, tmpdir_path):
+    """n_tok oid 23 (int4) -> oid 20 (int8): widen in place; old int32
+    parquet files read as long without rewrite."""
+    eng = make_engine(spark, tmpdir_path)
+    apply(spark, eng, [ev("I", 1, ["doc-000001", [1], 1, "web"])], 0)
+    assert dict(
+        (f["name"], f["type"]) for f in eng.table.schema_fields()
+    )["n_tok"] == "int"
+    big = 2**40
+    apply(
+        spark, eng,
+        [ev("I", 10, ["doc-000002", [2], big, "web", "en"], s=WIDENED_S)],
+        1,
+    )
+    assert dict(
+        (f["name"], f["type"]) for f in eng.table.schema_fields()
+    )["n_tok"] == "bigint"
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert rows["doc-000002"]["n_tok"] == big
+    assert rows["doc-000001"]["n_tok"] == 1  # old file, widened read
+
+
+def test_evolution_is_idempotent(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    apply(spark, eng, [ev("I", 1, ["doc-000001", [1], 1, "web", "en"], s=EVOLVED_S)], 0)
+    v = eng.table.current_version()
+    # same relation message replayed in a later batch -> no metadata commit
+    apply(spark, eng, [ev("I", 20, ["doc-000002", [2], 1, "web", "de"], s=EVOLVED_S)], 1)
+    assert not any(
+        s["summary"].get("operation") == "evolve"
+        for s in eng.table.snapshots()
+        if s["version"] > v
+    )
+
+
+def test_oracle_agrees_on_evolution(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    events = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"]),
+        ev("I", 2, ["doc-000002", [2], 1, "web", "en"], s=EVOLVED_S),
+        ev("U", 3, ["doc-000001", "__TOAST__", 1, "books", "fr"]),
+        ev("D", 4, k=["doc-000002", None, None, None, None]),
+    ]
+    apply(spark, eng, events, 0)
+    oracle = Oracle().replay(events)
+    from tests.util import assert_matches_oracle
+
+    assert_matches_oracle(eng, oracle)

@@ -1,0 +1,115 @@
+"""Training-data pipeline ops: property tests on small synthetic frames.
+(Exact cross-engine value parity is enforced separately by the driver's
+DuckDB oracle checks over __spark_entry__.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.pipeline import dedup as dd
+from pgoutput2json_spark.pipeline import multimodal as mm
+from pgoutput2json_spark.pipeline import similarity as sim
+from pgoutput2json_spark.pipeline import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "web"),   # exact dup
+        (3, "the quick brown fox leaps over the lazy dog", "web"),   # near dup
+        (4, "completely different content about spark engines", "code"),
+        (5, "der schnelle braune fuchs springt und ist nicht da", "web"),
+        (6, "THE  QUICK   brown fox jumps over the lazy dog", "web"),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    groups = dd.exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["group_size"] for r in groups}
+    assert by_keep[1] == 3  # 1, 2 and 6 normalize identically
+    survivors = dd.exact_dedup_survivors(docs)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_for_neardups(spark, docs):
+    rows = {r["id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    ham = bin(rows[1] ^ rows[3]).count("1")
+    ham_far = bin(rows[1] ^ rows[4]).count("1")
+    assert rows[1] == rows[2] == rows[6]
+    assert ham < ham_far
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in tx.quality_features(docs).collect()}
+    assert q[1]["n_words"] == 9
+    assert 0 < q[1]["quality_score"] <= 1
+    t = docs.select(tx.token_count(F.col("text")).alias("n")).collect()
+    assert t[0]["n"] == 9
+
+
+def test_brute_force_equals_gemm(spark):
+    import numpy as np
+
+    rng = [(i, [float(((i * 31 + j * 17) % 97) - 48) / 48.0 for j in range(8)])
+           for i in range(40)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    gm = sim.topk_gemm(emb, queries.toPandas(), k=5).collect()
+    assert [(r["q_id"], r["rank"], r["vec_id"]) for r in bf] == \
+           [(r["q_id"], r["rank"], r["vec_id"]) for r in gm]
+
+
+def test_ann_lsh_self_hit(spark):
+    rng = [(i, [float(((i * 13 + j * 7) % 53) - 26) for j in range(8)])
+           for i in range(30)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = sim.ann_lsh_topk(emb, queries, dim=8, k=3, planes=4).collect()
+    top1 = {r["q_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1}  # a vector's own bucket must contain itself
+
+
+def test_multimodal_plumbing(docs):
+    media = mm.synth_media(docs)
+    assert media.count() == 6
+    feats = mm.image_features(media, n_feat=8).collect()
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert all(0 <= x < 1 for x in r["features"])
+    # determinism
+    again = mm.image_features(mm.synth_media(docs), n_feat=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_strict_raises(docs):
+    media = mm.synth_media(docs)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|real image decode"):
+        mm.image_features(media, strict=True).collect()

@@ -1,0 +1,104 @@
+"""Structured Streaming lifecycle: checkpoint resume, idempotent epoch
+replay (crash simulation), exactly-once markers, lineage (FIXTURES.md
+scenario 13)."""
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from tests.util import ev, make_engine, write_jsonl
+
+
+def _write_segment(eng, events, name):
+    fp = write_jsonl(events, eng.opts.events_dir, name)
+    # file-source ordering contract: later segments sort later by mtime
+    t = time.time()
+    os.utime(fp, (t, t))
+    time.sleep(0.05)
+    return fp
+
+
+def test_stream_resume_across_restarts(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    _write_segment(eng, [ev("I", i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(1, 6)], "a.jsonl")
+    eng.run_until_drained(120)
+    assert eng.table.read().count() == 5
+
+    # "crash": discard the engine object; new engine, same checkpoint
+    eng2 = make_engine(spark, tmpdir_path)
+    _write_segment(eng2, [ev("U", 100, ["doc-000001", [42], 1, "web"]),
+                          ev("D", 101, k=["doc-000002", None, None, None])], "b.jsonl")
+    eng2.run_until_drained(120)
+    rows = {r["doc_id"]: r for r in eng2.table.read().collect()}
+    assert list(rows["doc-000001"]["tokens"]) == [42]
+    assert "doc-000002" not in rows
+    assert len(rows) == 4
+
+
+def test_epoch_replay_is_noop(spark, tmpdir_path):
+    """Crash between data commit and checkpoint commit => foreachBatch
+    re-runs the same epoch; the marker makes it a no-op (B3)."""
+    eng = make_engine(spark, tmpdir_path)
+    batch = [ev("I", 1, ["doc-000001", [1], 1, "web"])]
+    write_jsonl(batch, eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    r1 = eng.apply_batch(df, epoch_id=0)
+    v = eng.table.current_version()
+    r2 = eng.apply_batch(df, epoch_id=0)  # replayed epoch
+    assert r2.get("skipped") is True
+    assert eng.table.current_version() == v
+
+
+def test_commit_carries_marker_and_lineage(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    _write_segment(eng, [ev("I", i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(1, 4)], "a.jsonl")
+    eng.run_until_drained(120)
+    snap = eng.table.snapshot()
+    assert snap["properties"]["cdc.last-epoch"] == 0
+    assert snap["properties"]["cdc.max-lsn"] == 3
+    applies = [s for s in eng.table.snapshots() if s["summary"].get("operation") == "cdc-apply"]
+    assert applies and applies[-1]["summary"]["lineage"]
+    lin = eng.read_lineage()
+    assert lin.agg(F.sum("n_events")).first()[0] == 3
+    assert set(lin.columns) >= {"bucket", "epoch", "min_lsn", "max_lsn", "n_insert"}
+
+
+def test_merge_stats_observed(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path)
+    write_jsonl([ev("I", 1, ["doc-000001", [1], 1, "web"]),
+                 ev("I", 2, ["doc-000002", [2], 1, "web"])], eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    s1 = eng.apply_batch(df, 0)
+    assert s1["merge.rows_inserted"] == 2
+    write_jsonl([ev("U", 10, ["doc-000001", [9], 1, "web"]),
+                 ev("D", 11, k=["doc-000002", None, None, None])],
+                eng.opts.events_dir, "b.jsonl")
+    df2 = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(eng.opts.events_dir, "b.jsonl"))
+    s2 = eng.apply_batch(df2, 1)
+    assert s2["merge.rows_deleted"] == 1
+    assert s2["merge.rows_kept_or_updated"] == 1
+
+
+def test_bucket_pruning_only_rewrites_touched(spark, tmpdir_path):
+    """Scale property: a merge touching one key must not rewrite untouched
+    buckets' files (copy-on-write proportional to touched data)."""
+    eng = make_engine(spark, tmpdir_path, bucket_count=8)
+    write_jsonl([ev("I", i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(1, 40)],
+                eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    eng.apply_batch(df, 0)
+    before = dict(eng.table.snapshot()["files"])
+    write_jsonl([ev("U", 100, ["doc-000001", [9, 9], 2, "web"])],
+                eng.opts.events_dir, "b.jsonl")
+    df2 = spark.read.schema(EVENT_SCHEMA).json(os.path.join(eng.opts.events_dir, "b.jsonl"))
+    summary = eng.apply_batch(df2, 1)
+    after = dict(eng.table.snapshot()["files"])
+    touched = summary["touched-buckets"]
+    assert len(touched) == 1
+    unchanged = [b for b in before if int(b) not in touched]
+    assert unchanged and all(before[b] == after[b] for b in unchanged)
