@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: CDC change-event apply throughput — replay a deterministic
+synthetic WAL (seed=42, derived from the BASELINE input-table shape
+``(doc_id, tokens:array<int32>, n_tok, source)``) through the full engine
+(parse -> dedup -> explode -> fold -> bucketed merge -> atomic commit), plus
+wall-times for the training-data pipeline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "cdc": {"n_events": N, "events_per_sec": ..., ...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS (default 2_000_000),
+BENCH_FORMAT (parquet|jsonl, default parquet — "compacted WAL segments";
+jsonl is the wire-faithful slow path, also reported at 1/4 volume).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``python bench.py --scaling`` (subprocess per parallelism level — a JVM
+can't change core count in-flight); results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
+FORMAT = os.environ.get("BENCH_FORMAT", "parquet")
+CACHE = os.environ.get("BENCH_CACHE", "/tmp/pg2spark-bench")
+
+PIPELINE_QUERIES = [
+    "cdc_lww_window",
+    "cdc_dedup_watermark",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_topk_bruteforce",
+    "ann_gemm_topk",
+    "embedding_neardup",
+    "text_langid",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_image_features",
+    "token_transforms",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pg2spark-bench-{cpus}")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # spread post-shuffle stages across all cores even on modest shuffles
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def ensure_events(spark, n_events: int, fmt: str) -> str:
+    """Generate (once, cached) the deterministic WAL segments."""
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+
+    path = f"{CACHE}/events-{n_events}-{fmt}"
+    marker = f"{path}/_BENCH_READY"
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    spec = GeneratorSpec(
+        n_events=n_events,
+        n_keys=max(n_events // 10, 100),
+        seed=42,
+        snapshot_keys=max(n_events // 20, 50),
+        hot_pct=10,
+        max_tokens=64,
+    )
+    n_files = max(CPUS * 2, 16)
+    write_events(generate_events(spark, spec), path, fmt, n_files)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) -> dict:
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    work = f"{CACHE}/replay-{tag}-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    eng = CdcEngine(
+        spark,
+        EngineOptions(
+            table_root=f"{work}/table",
+            events_dir=events_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format=fmt,
+            bucket_count=64,
+        ),
+    )
+    t0 = time.time()
+    summary = eng.replay_batch()
+    dt = time.time() - t0
+    rows = eng.table.read().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "sec": round(dt, 2),
+        "n_events": n_events,
+        "events_per_sec": round(n_events / dt),
+        "final_rows": rows,
+        "merge_inserted": summary.get("merge.rows_inserted"),
+    }
+
+
+def warmup(spark) -> None:
+    """One tiny replay to JIT-compile the fold/merge codegen (a streaming
+    engine is long-running; steady-state throughput is the metric)."""
+    ev = ensure_events(spark, 2000, FORMAT)
+    run_cdc_replay(spark, ev, FORMAT, 2000, f"warmup-{CPUS}")
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    cdc: dict = {}
+
+    # --- headline: CDC replay ------------------------------------------------
+    warmup(spark)
+    ev_dir = ensure_events(spark, N_EVENTS, FORMAT)
+    r = run_cdc_replay(spark, ev_dir, FORMAT, N_EVENTS, f"{FORMAT}-{CPUS}")
+    queries[f"cdc_replay_{FORMAT}"] = r["sec"]
+    cdc[FORMAT] = r
+
+    jsonl_events = max(N_EVENTS // 4, 1000)
+    ev_dir2 = ensure_events(spark, jsonl_events, "jsonl")
+    r2 = run_cdc_replay(spark, ev_dir2, "jsonl", jsonl_events, f"jsonl-{CPUS}")
+    queries["cdc_replay_jsonl"] = r2["sec"]
+    cdc["jsonl"] = r2
+
+    # --- pipeline queries ----------------------------------------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in PIPELINE_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 2)
+        _ = n
+
+    total = round(sum(queries.values()), 2)
+    out = {
+        "metric": "cdc apply throughput + pipeline query wall-time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def scaling() -> None:
+    """Run the CDC replay at two parallelism levels (fresh JVM each) and
+    report throughput + scaling efficiency (BASELINE.md protocol)."""
+    levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "8,32").split(",")]
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ)
+        env.update(
+            SPARK_GRAFT_CPUS=str(cpus),
+            BENCH_ONLY_CDC="1",
+        )
+        p = subprocess.run(
+            [sys.executable, __file__, "--cdc-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {results[cpus]['cdc'][FORMAT]['events_per_sec']} events/s",
+              file=sys.stderr)
+    lo, hi = min(levels), max(levels)
+    tl = results[lo]["cdc"][FORMAT]["events_per_sec"]
+    th = results[hi]["cdc"][FORMAT]["events_per_sec"]
+    eff = (th / tl) / (hi / lo)
+    print(json.dumps({
+        "levels": levels,
+        "events_per_sec": {str(k): v["cdc"][FORMAT]["events_per_sec"] for k, v in results.items()},
+        "sec": {str(k): v["cdc"][FORMAT]["sec"] for k, v in results.items()},
+        "n_events": N_EVENTS,
+        "format": FORMAT,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def cdc_only() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark)
+    ev_dir = ensure_events(spark, N_EVENTS, FORMAT)
+    r = run_cdc_replay(spark, ev_dir, FORMAT, N_EVENTS, f"{FORMAT}-{CPUS}")
+    print(json.dumps({"cdc": {FORMAT: r}, "cpus": CPUS}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--cdc-only" in sys.argv:
+        cdc_only()
+    else:
+        main()

@@ -44,8 +44,23 @@ def _ord(prefix: str = "") -> Column:
     return F.struct(F.col(f"{prefix}lsn"), F.col(f"{prefix}sub"))
 
 
-def snapshot_cut(events: DataFrame, field_names: list[str]) -> DataFrame:
-    """Drop every event strictly older than its key's last snapshot event."""
+#: batches at or below this many events broadcast their per-key cut table
+#: (distinct keys <= events; ~40 B/key => <= ~200 MB broadcast at the cap).
+#: Larger batches fall back to a shuffle join, where AQE's runtime join
+#: selection + skew-join splitting take over.
+BROADCAST_CUTS_MAX_EVENTS = 5_000_000
+
+
+def snapshot_cut(
+    events: DataFrame, field_names: list[str], n_events_hint: int | None = None
+) -> DataFrame:
+    """Drop every event strictly older than its key's last snapshot event.
+
+    The cuts aggregate is map-side combinable (hot keys collapse to one row
+    per map task), so the reduce side never materializes a hot key's event
+    list.  ``n_events_hint`` (known per micro-batch) decides whether the cut
+    table is broadcast (typical micro-batch) or shuffle-joined (huge
+    backfill batches)."""
     all_set = F.lit(True)
     for n in field_names:
         all_set = all_set & F.col(f"f_{n}.set")
@@ -55,6 +70,8 @@ def snapshot_cut(events: DataFrame, field_names: list[str]) -> DataFrame:
         .agg(F.max(F.when(is_snapshot, _ord())).alias("cut"))
         .filter(F.col("cut").isNotNull())
     )
+    if n_events_hint is not None and n_events_hint <= BROADCAST_CUTS_MAX_EVENTS:
+        cuts = F.broadcast(cuts)
     return events.join(cuts, "doc_id", "left").filter(
         F.col("cut").isNull() | (_ord() >= F.col("cut"))
     ).drop("cut")

@@ -33,7 +33,7 @@ def apply_change_events(
     None).  Events must already carry resolved keys in column ``doc_id``
     (run operators/explode.py first if key-updates are possible)."""
     field_names = [n for n, _ in fields]
-    flat = snapshot_cut(events, field_names)
+    flat = snapshot_cut(events, field_names, n_events_hint=0)
     grouped = group_events(flat, field_names)
 
     spark = events.sparkSession

@@ -31,10 +31,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from pgoutput2json_spark.lake.table import LakeTable
-from pgoutput2json_spark.operators.explode import explode_key_updates, split_truncate
+from pgoutput2json_spark.operators.explode import explode_key_updates
 from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
 from pgoutput2json_spark.operators.merge import merge_groups, touched_buckets
-from pgoutput2json_spark.operators.parse import parse_events, relation_versions_in_batch
+from pgoutput2json_spark.operators.parse import parse_events
 from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema, oid_to_spark_type
 from pgoutput2json_spark.sources.events import read_events, read_events_stream
 
@@ -122,9 +122,19 @@ class CdcEngine:
             events = events.filter(F.col("t") == opts.table_filter)
         events = events.persist()
         try:
+            committed = table.committed_lsn()
+            # one driver action for batch stats + truncate LSN + relation
+            # messages (rare, tiny) — the reference pays one pass per event
+            # (ReplicationListener.cs:234-321); we pay one job per batch
             head = events.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("w").alias("max_lsn"),
+                F.max(
+                    F.when((F.col("c") == "T") & (F.col("w") > committed), F.col("w"))
+                ).alias("tmax"),
+                F.collect_set(
+                    F.when(F.col("s").isNotNull(), F.struct("w", "s"))
+                ).alias("rels"),
             ).first()
             n_events = int(head["n"])
             if n_events == 0:
@@ -133,7 +143,13 @@ class CdcEngine:
 
             # E1/E2 — evolve before parse/merge (idempotent metadata commit)
             base = self.base_relation()
-            versions = relation_versions_in_batch(events, base)
+            versions = [(-1, base)] + [
+                (int(r["w"]), RelationSchema.from_json(r["s"]))
+                for r in sorted(
+                    (x for x in head["rels"] if x is not None),
+                    key=lambda r: r["w"],
+                )
+            ]
             latest_rel = versions[-1][1]
             if len(versions) > 1:
                 table.evolve(
@@ -146,15 +162,20 @@ class CdcEngine:
             parsed = parse_events(events, versions, fields)
 
             # D2 — committed-LSN dedup (skip replayed events)
-            committed = table.committed_lsn()
             parsed = parsed.filter(F.col("lsn") > F.lit(committed))
 
-            # A5 — truncate epoch split
-            parsed, truncate_lsn = split_truncate(parsed)
+            # A5 — truncate epoch split (tmax from the head aggregation)
+            truncate_lsn = int(head["tmax"]) if head["tmax"] is not None else None
             truncating = truncate_lsn is not None
+            if truncating:
+                parsed = parsed.filter(
+                    (F.col("lsn") > F.lit(truncate_lsn)) & (F.col("op") != "T")
+                )
+            else:
+                parsed = parsed.filter(F.col("op") != "T")
 
             flat = explode_key_updates(parsed, field_names)
-            flat = snapshot_cut(flat, field_names)
+            flat = snapshot_cut(flat, field_names, n_events_hint=n_events)
             grouped = group_events(flat, field_names).persist()
 
             buckets = touched_buckets(grouped, table)
