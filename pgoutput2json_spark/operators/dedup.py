@@ -1,0 +1,56 @@
+"""Salted last-writer-wins reduce (R1 skew handling + D3 fast path).
+
+``apply_mode='lww'`` is the high-throughput mode for upsert-style streams
+where every update carries the full row and inserts never target existing
+keys (Debezium-style materialization).  Under those assumptions the serial
+fold degenerates to "latest event per key wins", computed as an explicitly
+**salted two-phase max_by**:
+
+  phase 1: groupBy(doc_id, salt = pmod(xxhash64(lsn), S))  -> per-salt max
+  phase 2: groupBy(doc_id)                                 -> global max
+
+A hot key receiving millions of events is first reduced to at most S rows
+(spread across S reducers), so no single reducer ever materializes the hot
+key's event list — the north rule's "salted repartitioning on skewed doc_id
+hot keys".  (The default ``exact`` mode achieves the same protection via
+the snapshot-cut pre-reduce in fold.py, which additionally preserves the
+reference's insert-ignore / TOAST-chain semantics.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_lww_reduce(
+    events: DataFrame, field_names: list[str], salt: int = 64
+) -> DataFrame:
+    """One winner row per key: the event with max (lsn, sub).
+
+    Output schema matches fold.group_events (evs = single-element array) so
+    merge_groups consumes either mode unchanged."""
+    ev = F.struct(
+        F.col("lsn"),
+        F.col("sub"),
+        F.col("op"),
+        F.struct(*[F.col(f"f_{n}").alias(n) for n in field_names]).alias("v"),
+    )
+    salted = events.withColumn("__salt", F.pmod(F.xxhash64("lsn"), F.lit(salt)))
+    phase1 = salted.groupBy("doc_id", "__salt").agg(
+        F.max(ev).alias("win"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_i"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_u"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
+    )
+    return phase1.groupBy("doc_id").agg(
+        F.array(F.max("win")).alias("evs"),
+        F.sum("n_events").alias("n_events"),
+        F.min("min_lsn").alias("min_lsn"),
+        F.max("max_lsn").alias("max_lsn"),
+        F.sum("n_i").alias("n_i"),
+        F.sum("n_u").alias("n_u"),
+        F.sum("n_d").alias("n_d"),
+    )

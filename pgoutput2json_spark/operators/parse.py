@@ -61,6 +61,7 @@ def parse_events(
     events: DataFrame,
     versions: list[tuple[int, RelationSchema]],
     target_fields: list[dict],
+    included: tuple | None = None,
 ) -> DataFrame:
     """Parse envelope events into typed per-column (set, val) structs.
 
@@ -100,12 +101,16 @@ def parse_events(
         F.when(F.col("r").isNotNull(), key_from("r")).alias("new_key"),
     ]
 
+    key_names = {rel.key_columns[0] for _, rel in versions}
     for fdict in target_fields:
         name, dtype = fdict["name"], _parse_type(fdict["type"])
+        excluded = (
+            included is not None and name not in included and name not in key_names
+        )
 
-        def build_val(rel: RelationSchema, name=name, dtype=dtype):
+        def build_val(rel: RelationSchema, name=name, dtype=dtype, excluded=excluded):
             pos = next((i for i, c in enumerate(rel.columns) if c.name == name), None)
-            if pos is None:
+            if pos is None or excluded:
                 return F.struct(
                     F.lit(False).alias("set"), F.lit(None).cast(dtype).alias("val")
                 )

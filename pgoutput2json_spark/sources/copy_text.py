@@ -1,0 +1,84 @@
+"""PostgreSQL COPY TO STDOUT text-format decode (S6) — bootstrap source.
+
+The reference's initial snapshot exports tables via
+``COPY (SELECT ...) TO STDOUT WITH (FORMAT TEXT, HEADER)`` and unescapes the
+text protocol line by line (DataExporter.cs:283-347: tab separators, ``\\N``
+nulls, backslash escapes).  This source decodes the same format fully
+JVM-side (single-pass escape emulation via a NUL sentinel) into either a
+typed DataFrame or synthetic ``w=0`` insert events (DataExporter.cs:224).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pgoutput2json_spark.operators.parse import _parse_slot
+from pgoutput2json_spark.schema import RelationSchema
+
+
+def _unescape(col: Column) -> Column:
+    """COPY text unescape: \\\\ -> \\, \\t -> TAB, \\n -> LF, \\r -> CR.
+
+    Single-pass semantics via NUL sentinel (a literal backslash is hidden
+    first so it can't recombine with a following char)."""
+    c = F.regexp_replace(col, r"\\\\", "\x00")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    return F.regexp_replace(c, "\x00", "\\\\")
+
+
+def read_copy_text(
+    spark: SparkSession,
+    path: str,
+    relation: RelationSchema,
+    header: bool = True,
+) -> DataFrame:
+    """Decode COPY text files into a typed DataFrame per ``relation``.
+
+    Fields are split on (unescaped) tabs *before* unescape — the protocol
+    guarantees literal tabs inside values are always escaped."""
+    lines = spark.read.text(path)
+    if header:
+        first = lines.limit(1).collect()
+        if first:
+            lines = lines.filter(F.col("value") != first[0]["value"])
+    fields = F.split(F.col("value"), "\t")
+    cols = []
+    for i, spec in enumerate(relation.columns):
+        raw = F.element_at(fields, i + 1)
+        val = F.when(raw == "\\N", F.lit(None)).otherwise(_unescape(raw))
+        # pg array literal columns go through the array decoder
+        if spec.spark_type.simpleString().startswith("array<"):
+            from pgoutput2json_spark.functions.decode import pg_number_array
+
+            elem = spec.spark_type.simpleString()[6:-1]
+            cols.append(pg_number_array(val, elem).alias(spec.name))
+        else:
+            cols.append(_parse_slot(val, spec.spark_type).alias(spec.name))
+    return lines.select(*cols)
+
+
+def copy_text_as_snapshot_events(
+    spark: SparkSession, path: str, relation: RelationSchema
+) -> DataFrame:
+    """COPY rows re-emitted as ``{"c":"I","w":0}`` envelope events, so the
+    bootstrap flows through the exact same apply path as the stream."""
+    df = read_copy_text(spark, path, relation)
+    slots = []
+    for spec in relation.columns:
+        c = F.col(spec.name)
+        if spec.spark_type.simpleString().startswith("array<"):
+            slots.append(F.to_json(c))
+        else:
+            slots.append(c.cast("string"))
+    return df.select(
+        F.lit("I").alias("c"),
+        F.lit(0).cast("long").alias("w"),
+        F.lit(relation.table).alias("t"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("array<string>").alias("k"),
+        F.array(*slots).alias("r"),
+        F.lit(None).cast("long").alias("cts"),
+        F.lit(None).cast("long").alias("mts"),
+    )

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from pgoutput2json_spark.lake.table import LakeTable
+from pgoutput2json_spark.operators.dedup import salted_lww_reduce
 from pgoutput2json_spark.operators.explode import explode_key_updates
 from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
 from pgoutput2json_spark.operators.merge import merge_groups, touched_buckets
@@ -49,6 +50,15 @@ class EngineOptions:
     max_files_per_trigger: int | None = None
     table_filter: str | None = None      # only apply events of this table
     emit_lineage: bool = True
+    #: 'exact' = full reference serial-apply semantics (fold.py);
+    #: 'lww'   = salted two-phase last-writer-wins max_by (operators/dedup.py)
+    #:           — faster, correct for full-row upsert streams
+    apply_mode: str = "exact"
+    #: P1 column allow-list (reference IncludedColumns, JsonWriter.cs:185-188):
+    #: excluded columns are never set by events (inserts leave them null)
+    included_columns: tuple | None = None
+    #: K1 app-callback: called with the commit summary after each batch
+    post_commit_hook: object | None = None
 
 
 def _relation_fields(rel: RelationSchema) -> list[dict]:
@@ -159,7 +169,9 @@ class CdcEngine:
             fields = table.schema_fields()
             field_names = [f["name"] for f in fields]
 
-            parsed = parse_events(events, versions, fields)
+            parsed = parse_events(
+                events, versions, fields, included=opts.included_columns
+            )
 
             # D2 — committed-LSN dedup (skip replayed events)
             parsed = parsed.filter(F.col("lsn") > F.lit(committed))
@@ -175,8 +187,11 @@ class CdcEngine:
                 parsed = parsed.filter(F.col("op") != "T")
 
             flat = explode_key_updates(parsed, field_names)
-            flat = snapshot_cut(flat, field_names, n_events_hint=n_events)
-            grouped = group_events(flat, field_names).persist()
+            if opts.apply_mode == "lww":
+                grouped = salted_lww_reduce(flat, field_names).persist()
+            else:
+                flat = snapshot_cut(flat, field_names, n_events_hint=n_events)
+                grouped = group_events(flat, field_names).persist()
 
             buckets = touched_buckets(grouped, table)
             replaced = table.touched_buckets() if truncating else buckets
@@ -223,6 +238,8 @@ class CdcEngine:
                 expected_version=expected_version,
                 truncate_all=truncating,
             )
+            if opts.post_commit_hook is not None:
+                opts.post_commit_hook(summary)
             return summary
         finally:
             events.unpersist()

@@ -1,0 +1,66 @@
+"""Streaming metrics (M1/M2 observability).
+
+The reference exposes ``publish_count`` / ``error_count`` counters via
+System.Diagnostics.Metrics (MetricsHelper.cs:5-23).  The Spark-native
+equivalents here:
+
+- ``CdcMetricsListener``: a StreamingQueryListener appending one JSON line
+  per micro-batch progress (rows/sec, batch duration, offsets) to a local
+  metrics log — attachable to any engine session.
+- ``counters_from_table``: derive cumulative apply counters from the lake
+  table's snapshot summaries (events applied, rows merged, errors=0 commits
+  are absent — the commit IS the ack).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class CdcMetricsListener(StreamingQueryListener):
+    def __init__(self, log_path: str):
+        self.log_path = log_path
+        os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+
+    def _emit(self, record: dict) -> None:
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def onQueryStarted(self, event) -> None:
+        self._emit({"event": "started", "id": str(event.id), "runId": str(event.runId)})
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self._emit(
+            {
+                "event": "progress",
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "inputRowsPerSecond": p.inputRowsPerSecond,
+                "processedRowsPerSecond": p.processedRowsPerSecond,
+                "durationMs": dict(p.durationMs) if p.durationMs else {},
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self._emit({"event": "terminated", "id": str(event.id), "exception": event.exception})
+
+
+def counters_from_table(table) -> dict:
+    """Cumulative apply counters from snapshot summaries (publish_count
+    analogue = events applied; per-commit merge stats summed)."""
+    out = {"commits": 0, "events_applied": 0, "rows_inserted": 0, "rows_deleted": 0}
+    for s in table.snapshots():
+        sm = s.get("summary", {})
+        if sm.get("operation") == "cdc-apply":
+            out["commits"] += 1
+            out["events_applied"] += int(sm.get("n-events", 0))
+            out["rows_inserted"] += int(sm.get("merge.rows_inserted", 0))
+            out["rows_deleted"] += int(sm.get("merge.rows_deleted", 0))
+    return out

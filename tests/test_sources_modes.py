@@ -1,0 +1,108 @@
+"""COPY-text bootstrap source (S6), salted LWW mode, column allow-list (P1),
+post-commit hook (K1), metrics counters (M1)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from pgoutput2json_spark.schema import DOCS_RELATION
+from pgoutput2json_spark.sources.copy_text import (
+    copy_text_as_snapshot_events,
+    read_copy_text,
+)
+from tests.util import ev, make_engine, write_jsonl
+
+
+def _write_copy(path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("doc_id\ttokens\tn_tok\tsource\n")  # HEADER
+        f.write("doc-000001\t{1,2,3}\t3\tweb\n")
+        f.write("doc-000002\t{7}\t1\ttab\\there\n")        # escaped tab in value
+        f.write("doc-000003\t\\N\t\\N\tback\\\\slash\n")   # nulls + escaped backslash
+    return path
+
+
+def test_copy_text_decode(spark, tmpdir_path):
+    p = _write_copy(os.path.join(tmpdir_path, "copy", "docs.tsv"))
+    rows = {r["doc_id"]: r for r in read_copy_text(spark, p, DOCS_RELATION).collect()}
+    assert list(rows["doc-000001"]["tokens"]) == [1, 2, 3]
+    assert rows["doc-000002"]["source"] == "tab\there"
+    assert rows["doc-000003"]["tokens"] is None
+    assert rows["doc-000003"]["source"] == "back\\slash"
+
+
+def test_copy_text_snapshot_events_apply(spark, tmpdir_path):
+    p = _write_copy(os.path.join(tmpdir_path, "copy", "docs.tsv"))
+    events = copy_text_as_snapshot_events(spark, p, DOCS_RELATION)
+    assert [f.name for f in events.schema.fields] == [f.name for f in EVENT_SCHEMA.fields]
+    eng = make_engine(spark, tmpdir_path)
+    eng.apply_batch(events, 0)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert list(rows["doc-000001"]["tokens"]) == [1, 2, 3]
+    # snapshot rows carry w=0: stream events override them
+    write_jsonl([ev("U", 100, ["doc-000001", [9], 1, "web"])], eng.opts.events_dir, "b.jsonl")
+    df = eng.spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(eng.opts.events_dir, "b.jsonl"))
+    eng.apply_batch(df, 1)
+    assert list(
+        eng.table.read().filter(F.col("doc_id") == "doc-000001").first()["tokens"]
+    ) == [9]
+
+
+def test_lww_mode_matches_exact_for_upsert_stream(spark, tmpdir_path):
+    """Full-row upsert/delete stream: salted LWW must equal exact mode."""
+    events = []
+    w = 1
+    for rnd in range(4):
+        for i in range(20):
+            events.append(ev("U", w, [f"doc-{i:06d}", [rnd, i], 2, "web"]))
+            w += 1
+    events.append(ev("D", w, k=["doc-000003", None, None, None]))
+
+    eng_exact = make_engine(spark, os.path.join(tmpdir_path, "exact"))
+    write_jsonl(events, eng_exact.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng_exact.opts.events_dir)
+    eng_exact.apply_batch(df, 0)
+
+    eng_lww = make_engine(spark, os.path.join(tmpdir_path, "lww"))
+    eng_lww.opts.apply_mode = "lww"
+    eng_lww.apply_batch(df, 0)
+
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in eng_exact.table.read().collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in eng_lww.table.read().collect()}
+    assert a == b
+    assert "doc-000003" not in a
+
+
+def test_included_columns(spark, tmpdir_path):
+    """P1: excluded columns are never written by events."""
+    eng = make_engine(spark, tmpdir_path)
+    eng.opts.included_columns = ("doc_id", "tokens")
+    events = [
+        ev("I", 1, ["doc-000001", [1, 2], 2, "web"]),
+        ev("U", 2, ["doc-000001", [3], 1, "books"]),
+    ]
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    eng.apply_batch(df, 0)
+    row = eng.table.read().first()
+    assert list(row["tokens"]) == [3]
+    assert row["source"] is None and row["n_tok"] is None
+
+
+def test_post_commit_hook_and_counters(spark, tmpdir_path):
+    from pgoutput2json_spark.streaming.metrics import counters_from_table
+
+    got = []
+    eng = make_engine(spark, tmpdir_path)
+    eng.opts.post_commit_hook = lambda s: got.append(s)
+    write_jsonl([ev("I", i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(1, 6)],
+                eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    eng.apply_batch(df, 0)
+    assert len(got) == 1 and got[0]["n-events"] == 5
+    c = counters_from_table(eng.table)
+    assert c["commits"] == 1 and c["events_applied"] == 5 and c["rows_inserted"] == 5
