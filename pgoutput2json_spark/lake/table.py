@@ -337,6 +337,65 @@ class LakeTable:
 
     # ---------------------------------------------------------- maintenance
 
+    def read_at(self, version: int, buckets: list[int] | None = None) -> DataFrame:
+        """Time travel: read the table as of snapshot ``version``."""
+        snap = self.snapshot(version)
+        schema = T.StructType(
+            [T.StructField(c["name"], _parse_type(c["type"]), True)
+             for c in snap["schema"]]
+        )
+        sel = set(map(str, buckets)) if buckets is not None else None
+        files = [
+            os.path.join(self.root, f)
+            for b, fl in snap["files"].items()
+            if sel is None or b in sel
+            for f in fl
+        ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete data files referenced only by expired snapshots (the
+        copy-on-write merge orphans old bucket files; Iceberg's
+        expire_snapshots analogue).  Snapshot JSONs are kept (tiny) but
+        their files may be gone; ``read_at`` below ``current - keep_last``
+        becomes invalid.  Returns number of files deleted."""
+        cur = self.current_version()
+        live: set[str] = set()
+        for v in range(max(1, cur - keep_last + 1), cur + 1):
+            for fl in self.snapshot(v)["files"].values():
+                live.update(fl)
+        deleted = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel not in live and fn.endswith(".parquet"):
+                    os.unlink(full)
+                    deleted += 1
+        return deleted
+
+    def compact_buckets(
+        self, max_files_per_bucket: int = 4, summary: dict | None = None
+    ) -> dict | None:
+        """Rewrite buckets whose file count exceeds the threshold into one
+        file each (small-file compaction after many incremental commits —
+        Iceberg rewrite_data_files analogue).  One atomic commit."""
+        snap = self.snapshot()
+        todo = [int(b) for b, fl in snap["files"].items() if len(fl) > max_files_per_bucket]
+        if not todo:
+            return None
+        df = self.read(todo).coalesce(max(len(todo) // 4, 1))
+        new_files = self.write_data_files(df, snap["version"] + 1)
+        return self.commit_replace_buckets(
+            new_files,
+            replaced_buckets=todo,
+            summary={"operation": "compact", "buckets": todo, **(summary or {})},
+            expected_version=snap["version"],
+        )
+
     def append(self, df: DataFrame, summary: dict | None = None,
                properties: dict | None = None) -> dict:
         """Append-only fast path (bootstrap S3): write + commit new files into

@@ -1,0 +1,105 @@
+"""LakeTable format unit tests: atomic commits, conflict detection, time
+travel, snapshot expiry, compaction, bucket pruning."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.lake.table import CommitConflict, LakeTable
+
+FIELDS = [
+    {"name": "doc_id", "type": "string", "oid": 25},
+    {"name": "tokens", "type": "array<int>", "oid": 1007},
+    {"name": "n_tok", "type": "int", "oid": 23},
+    {"name": "source", "type": "string", "oid": 25},
+]
+
+
+def mk(spark, root, n=20, buckets=8):
+    t = LakeTable.create(spark, os.path.join(root, "t"), FIELDS, "doc_id", buckets)
+    df = spark.range(n).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("web").alias("source"),
+    )
+    t.append(df)
+    return t
+
+
+def test_create_append_read(spark, tmpdir_path):
+    t = mk(spark, tmpdir_path)
+    assert t.read().count() == 20
+    assert t.current_version() == 2
+
+
+def test_commit_conflict(spark, tmpdir_path):
+    t = mk(spark, tmpdir_path)
+    with pytest.raises(CommitConflict):
+        t.commit_replace_buckets({}, [], expected_version=1)
+
+
+def test_optimistic_claim_is_atomic(spark, tmpdir_path):
+    """Two writers racing for the same version: exactly one wins."""
+    t = mk(spark, tmpdir_path)
+    v = t.current_version()
+    t.commit_replace_buckets({}, [], summary={"operation": "a"}, expected_version=v)
+    t2 = LakeTable(spark, t.root)
+    with pytest.raises(CommitConflict):
+        # stale writer: expected_version still v
+        t2.commit_replace_buckets({}, [], summary={"operation": "b"}, expected_version=v)
+
+
+def test_time_travel(spark, tmpdir_path):
+    t = mk(spark, tmpdir_path, n=10)
+    v1 = t.current_version()
+    df = spark.range(10, 30).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("web").alias("source"),
+    )
+    t.append(df)
+    assert t.read().count() == 30
+    assert t.read_at(v1).count() == 10
+
+
+def test_expire_snapshots(spark, tmpdir_path):
+    t = mk(spark, tmpdir_path, n=10)
+    # rewrite every bucket (orphans the originals)
+    new_files = t.write_data_files(t.read(), t.current_version() + 1)
+    t.commit_replace_buckets(new_files, t.touched_buckets(),
+                             summary={"operation": "rewrite"})
+    n_files_before = len(glob.glob(os.path.join(t.root, "data/**/*.parquet"),
+                                   recursive=True))
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    assert t.read().count() == 10  # current snapshot intact
+    n_files_after = len(glob.glob(os.path.join(t.root, "data/**/*.parquet"),
+                                  recursive=True))
+    assert n_files_after == n_files_before - deleted
+
+
+def test_compact_buckets(spark, tmpdir_path):
+    t = mk(spark, tmpdir_path, n=16, buckets=2)
+    for _ in range(5):  # many small appends -> many files per bucket
+        t.append(t.read().limit(4))
+    files_before = {b: len(fl) for b, fl in t.snapshot()["files"].items()}
+    assert max(files_before.values()) > 4
+    n = t.read().count()
+    t.compact_buckets(max_files_per_bucket=4)
+    files_after = {b: len(fl) for b, fl in t.snapshot()["files"].items()}
+    assert max(files_after.values()) <= max(files_before.values())
+    assert t.read().count() == n
+
+
+def test_bucket_pruned_read_lists_fewer_files(spark, tmpdir_path):
+    t = mk(spark, tmpdir_path, n=100, buckets=8)
+    all_rows = t.read().count()
+    one = t.read(buckets=[t.touched_buckets()[0]])
+    assert 0 < one.count() < all_rows
+    # pruned scan reads only that bucket's files
+    scan_files = one.inputFiles()
+    assert all(f"__bucket={t.touched_buckets()[0]}" in f for f in scan_files)

@@ -1,0 +1,66 @@
+"""Property-based correctness: random event sequences vs the serial oracle.
+
+Hypothesis generates arbitrary interleavings of I/U/D/TOAST/key-update/
+truncate events over a small key space; the engine's set-oriented fold must
+match the pure-Python serial replayer exactly (per-row token-array
+equality).  Few examples (each is a Spark job) but highly adversarial
+orderings — this is the test that killed plain last-writer-wins designs.
+"""
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from tests.oracle import Oracle
+from tests.util import assert_matches_oracle, make_engine, write_jsonl
+
+KEYS = [f"doc-{i:06d}" for i in range(4)]
+
+
+@st.composite
+def event_seq(draw):
+    n = draw(st.integers(min_value=1, max_value=24))
+    events = []
+    for lsn in range(1, n + 1):
+        kind = draw(st.sampled_from(["I", "U", "D", "TU", "KU", "T"]))
+        key = draw(st.sampled_from(KEYS))
+        toks = draw(st.lists(st.integers(0, 99), min_size=0, max_size=4))
+        src = draw(st.sampled_from(["a", "b", None]))
+        if kind == "T":
+            events.append({"c": "T", "w": lsn, "t": "public.docs"})
+        elif kind == "D":
+            events.append({"c": "D", "w": lsn, "t": "public.docs",
+                           "k": [key, None, None, None]})
+        elif kind == "KU":
+            new = draw(st.sampled_from(KEYS))
+            if new == key:
+                continue
+            events.append({"c": "U", "w": lsn, "t": "public.docs",
+                           "k": [key, None, None, None],
+                           "r": [new, toks, len(toks), src]})
+        elif kind == "TU":
+            events.append({"c": "U", "w": lsn, "t": "public.docs",
+                           "r": [key, "__TOAST__", len(toks), src]})
+        else:
+            events.append({"c": kind, "w": lsn, "t": "public.docs",
+                           "r": [key, toks, len(toks), src]})
+    return events
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(event_seq())
+def test_fold_matches_serial_oracle(spark, tmp_path_factory, events):
+    root = str(tmp_path_factory.mktemp("prop"))
+    eng = make_engine(spark, root)
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    eng.apply_batch(df, 0)
+    oracle = Oracle().replay(events)
+    assert_matches_oracle(eng, oracle)
