@@ -1,0 +1,146 @@
+"""Multi-table CDC replication (publication-level ingest).
+
+The reference tails one slot carrying changes for *all* tables of a
+publication and its store sinks auto-create tables from schema messages
+(SqlitePublisher.cs:106-141, SqliteConnectionExtensions.cs:132-210).  The
+Spark equivalent: one event stream, one checkpoint, and a per-table
+``LakeTable`` under a common warehouse root; each micro-batch is split by
+``t`` and applied through the single-table engine logic per table.
+
+Unknown tables are created on first contact from their relation message
+(events of a table that has never sent ``s`` are held back — exactly like a
+store sink that cannot apply a compact row without its schema).
+
+Ordering note: per-table LSN watermarks are independent; the global batch
+is one checkpointed unit, so resume replays are deduped per table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pgoutput2json_spark.lake.table import LakeTable
+from pgoutput2json_spark.schema import RelationSchema
+from pgoutput2json_spark.sources.events import read_events, read_events_stream
+from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions, _relation_fields
+
+
+@dataclass
+class MultiTableOptions:
+    warehouse_root: str            # per-table tables live at <root>/<schema.table>
+    events_dir: str
+    checkpoint_dir: str
+    event_format: str = "jsonl"
+    bucket_count: int = 16
+    max_files_per_trigger: int | None = None
+    emit_lineage: bool = True
+    apply_mode: str = "exact"
+
+
+class MultiTableCdcEngine:
+    def __init__(self, spark: SparkSession, opts: MultiTableOptions):
+        self.spark = spark
+        self.opts = opts
+        self._engines: dict[str, CdcEngine] = {}
+
+    def _table_root(self, table: str) -> str:
+        return os.path.join(self.opts.warehouse_root, table.replace("/", "_"))
+
+    def engine_for(self, table: str, relation: RelationSchema | None = None) -> CdcEngine | None:
+        """Get (or create, given a relation) the per-table engine."""
+        if table in self._engines:
+            return self._engines[table]
+        root = self._table_root(table)
+        if not LakeTable.exists(root) and relation is None:
+            return None  # never seen a schema for this table
+        if not LakeTable.exists(root):
+            LakeTable.create(
+                self.spark,
+                root,
+                schema=_relation_fields(relation),
+                bucket_column=relation.key_columns[0],
+                bucket_count=self.opts.bucket_count,
+                properties={"cdc.relation": relation.to_json()},
+            )
+        eng = CdcEngine(
+            self.spark,
+            EngineOptions(
+                table_root=root,
+                events_dir=self.opts.events_dir,
+                checkpoint_dir=self.opts.checkpoint_dir,
+                event_format=self.opts.event_format,
+                bucket_count=self.opts.bucket_count,
+                table_filter=table,
+                emit_lineage=self.opts.emit_lineage,
+                apply_mode=self.opts.apply_mode,
+            ),
+        )
+        self._engines[table] = eng
+        return eng
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.opts.warehouse_root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.opts.warehouse_root)
+            if LakeTable.exists(os.path.join(self.opts.warehouse_root, d))
+        )
+
+    # ------------------------------------------------------------ apply
+
+    def apply_batch(self, events: DataFrame, epoch_id: int) -> dict:
+        events = events.persist()
+        try:
+            # tiny: one row per (table, has relation) in the batch
+            heads = (
+                events.groupBy("t")
+                .agg(F.min_by("s", F.when(F.col("s").isNotNull(), F.col("w"))).alias("first_s"))
+                .collect()
+            )
+            results = {}
+            for row in heads:
+                table = row["t"]
+                rel = RelationSchema.from_json(row["first_s"]) if row["first_s"] else None
+                eng = self.engine_for(table, rel)
+                if eng is None:
+                    results[table] = {"skipped": True, "reason": "no schema yet"}
+                    continue
+                results[table] = eng.apply_batch(
+                    events.filter(F.col("t") == table), epoch_id
+                )
+            return results
+        finally:
+            events.unpersist()
+
+    # ------------------------------------------------------------ run
+
+    def replay_batch(self) -> dict:
+        df = read_events(self.spark, self.opts.events_dir, self.opts.event_format)
+        return self.apply_batch(df, epoch_id=0)
+
+    def start_stream(self, available_now: bool = True, processing_time: str | None = None):
+        stream = read_events_stream(
+            self.spark,
+            self.opts.events_dir,
+            self.opts.event_format,
+            self.opts.max_files_per_trigger,
+        )
+        writer = stream.writeStream.foreachBatch(
+            lambda df, eid: self.apply_batch(df, eid)
+        ).option("checkpointLocation", self.opts.checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_until_drained(self, timeout_sec: int = 600) -> None:
+        q = self.start_stream(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))

@@ -1,0 +1,79 @@
+"""Multi-table publication ingest: one stream, per-table lake tables,
+auto-create from relation messages, independent watermarks."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from pgoutput2json_spark.streaming.multi import MultiTableCdcEngine, MultiTableOptions
+from tests.util import ev, write_jsonl
+
+DOCS_S = '["public.docs",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],["source",0,25]]'
+USERS_S = '["public.users",["user_id",1,25],["name",0,25],["score",0,23]]'
+
+
+def mk(spark, root):
+    return MultiTableCdcEngine(
+        spark,
+        MultiTableOptions(
+            warehouse_root=os.path.join(root, "warehouse"),
+            events_dir=os.path.join(root, "events"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        ),
+    )
+
+
+def test_two_tables_one_stream(spark, tmpdir_path):
+    eng = mk(spark, tmpdir_path)
+    events = [
+        ev("I", 1, ["doc-000001", [1, 2], 2, "web"], s=DOCS_S, t="public.docs"),
+        ev("I", 2, ["u1", "alice", 10], s=USERS_S, t="public.users"),
+        ev("I", 3, ["doc-000002", [3], 1, "web"], t="public.docs"),
+        ev("U", 4, ["u1", "alice", 99], t="public.users"),
+        ev("D", 5, k=["doc-000001", None, None, None], t="public.docs"),
+    ]
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    res = eng.apply_batch(df, 0)
+    assert set(res) == {"public.docs", "public.users"}
+
+    docs = eng.engine_for("public.docs").table
+    users = eng.engine_for("public.users").table
+    assert [r["doc_id"] for r in docs.read().collect()] == ["doc-000002"]
+    u = users.read().first()
+    assert u["name"] == "alice" and u["score"] == 99
+    assert users.column_names() == ["user_id", "name", "score"]
+    assert set(eng.tables()) == {"public.docs", "public.users"}
+
+
+def test_unknown_table_without_schema_is_held(spark, tmpdir_path):
+    eng = mk(spark, tmpdir_path)
+    events = [ev("I", 1, ["x", [1], 1, "w"], t="public.mystery")]
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    res = eng.apply_batch(df, 0)
+    assert res["public.mystery"]["skipped"] is True
+    assert eng.tables() == []
+
+
+def test_multi_table_streaming_resume(spark, tmpdir_path):
+    import time
+
+    eng = mk(spark, tmpdir_path)
+    b1 = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"], s=DOCS_S, t="public.docs"),
+        ev("I", 2, ["u1", "bob", 5], s=USERS_S, t="public.users"),
+    ]
+    fp = write_jsonl(b1, eng.opts.events_dir, "a.jsonl")
+    t = time.time(); os.utime(fp, (t, t)); time.sleep(0.05)
+    eng.run_until_drained(120)
+    b2 = [ev("U", 10, ["u1", "bob", 42], t="public.users")]
+    fp = write_jsonl(b2, eng.opts.events_dir, "b.jsonl")
+    t = time.time(); os.utime(fp, (t, t))
+    eng2 = mk(spark, tmpdir_path)
+    eng2.run_until_drained(120)
+    users = eng2.engine_for("public.users").table
+    assert users.read().first()["score"] == 42
+    docs = eng2.engine_for("public.docs").table
+    assert docs.read().count() == 1
