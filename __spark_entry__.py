@@ -657,6 +657,53 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_window_stats(media, window_bytes=16)
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 Bernoulli sampling (re-run- and reshard-stable)."""
+    from pgoutput2json_spark.pipeline.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.25, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {MD5L.format(x='doc_id::VARCHAR')} / 1152921504606846976.0 < 0.25
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgoutput2json_spark.pipeline.sampling import stratified_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    rates = {"src0": 0.8, "src1": 0.2}
+    return stratified_hash_sample(docs, rates, "source", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+SQL_SAMPLE_STRAT = f"""
+SELECT doc_id, source FROM documents
+WHERE {MD5L.format(x='doc_id::VARCHAR')} / 1152921504606846976.0 <
+      (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.2 ELSE 0.0 END)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of synthetic token arrays into 512-token
+    training windows (mapInPandas — rows-only oracle; invariants in pytest)."""
+    from pgoutput2json_spark.pipeline.sampling import pack_sequences
+
+    emb = _emb(spark, sf_dir)
+    toks = emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (F.abs(x * 10000).cast("int") % 50257)
+        ).alias("tokens"),
+    )
+    return pack_sequences(toks, window=512, eos=0, packers=4)
+
+
 def q_token_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized token-payload transforms (Arrow pandas UDFs): synthetic
     token arrays from embeddings, n_tok recompute + entropy + clipping."""
@@ -749,6 +796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "token_transforms": q_token_transforms,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -775,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_media": SQL_MULTIMODAL_MEDIA,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
+        "sample_hash": SQL_SAMPLE_HASH,
+        "sample_stratified": SQL_SAMPLE_STRAT,
         # rows-only (Arrow/binary plumbing, not SQL-expressible):
         #   multimodal_image_features, multimodal_audio_stats, token_transforms
     }

@@ -14,6 +14,6 @@ pre-hashed compact keys; candidate generation is always index-style
 for small-scale verification.
 """
 
-from pgoutput2json_spark.pipeline import dedup, multimodal, similarity, text
+from pgoutput2json_spark.pipeline import dedup, multimodal, sampling, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "sampling"]

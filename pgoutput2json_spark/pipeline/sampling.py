@@ -1,0 +1,121 @@
+"""Deterministic sampling + sequence packing for training-data assembly.
+
+- ``hash_sample``: reproducible Bernoulli sampling by md5 of the key — no
+  RNG state, engine-portable (exact DuckDB oracle), stable under re-runs
+  and resharding (the property a 100 TB pipeline needs; Spark's
+  ``df.sample`` is partition-layout-dependent).
+- ``stratified_hash_sample``: per-stratum rates (e.g., upsample code,
+  downsample web).
+- ``pack_sequences``: greedy first-fit packing of tokenized documents into
+  fixed-length training windows (concat with an EOS separator), per
+  partition via Arrow batches — the standard pretraining sequence-packing
+  step.  Deterministic given the partitioning expression (documents are
+  routed to packers by hash, packed in doc_id order within each packer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pgoutput2json_spark.pipeline.dedup import md5_long
+
+
+def hash_fraction(key: Column) -> Column:
+    """Uniform [0,1) from md5 of the key (60-bit precision)."""
+    return md5_long(key.cast("string")) / F.lit(float(1 << 60))
+
+
+def hash_sample(df: DataFrame, fraction: float, key: str) -> DataFrame:
+    """Keep rows with hash_fraction(key) < fraction — deterministic,
+    re-run-stable, join-consistent (the same key samples identically in any
+    table)."""
+    return df.filter(hash_fraction(F.col(key)) < F.lit(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame, rates: dict[str, float], stratum: str, key: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    expr = F.lit(default_rate)
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(stratum) == value, F.lit(rate)).otherwise(expr)
+    return df.filter(hash_fraction(F.col(key)) < expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window: int = 2048,
+    eos: int = 0,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    packers: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit-decreasing-ish packing into fixed windows.
+
+    Documents are hash-routed to ``packers`` independent packers (default:
+    one per shuffle partition); each packer streams its Arrow batches in
+    ``id_col`` order, concatenating ``tokens + [eos]`` until the window
+    would overflow, then emits the packed sequence.  Output:
+    ``(pack_id string, tokens array<int>, n_tok int, n_docs int)``; every
+    emitted window is <= ``window`` long and document order within a pack
+    is ascending — asserted in tests.  Oversized documents are truncated to
+    the window (standard practice).
+    """
+    routed = docs.select(F.col(id_col).cast("string").alias("id"), F.col(tokens_col).alias("toks"))
+    if packers:
+        routed = routed.repartition(packers, F.pmod(F.xxhash64("id"), F.lit(packers)))
+    routed = routed.sortWithinPartitions("id")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        part = None
+        buf: list[int] = []
+        n_docs = 0
+        seq = 0
+        out_rows: list[dict] = []
+
+        def flush():
+            nonlocal buf, n_docs, seq
+            if buf:
+                out_rows.append(
+                    {
+                        "pack_id": f"p{part}-{seq:08d}",
+                        "tokens": list(buf),
+                        "n_tok": len(buf),
+                        "n_docs": n_docs,
+                    }
+                )
+                seq += 1
+            buf, n_docs = [], 0
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if part is None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                part = ctx.partitionId() if ctx else os.getpid()
+            for toks in pdf["toks"]:
+                if toks is None:
+                    continue
+                t = list(toks)[: window - 1] + [eos]
+                if len(buf) + len(t) > window:
+                    flush()
+                buf.extend(t)
+                n_docs += 1
+            if len(out_rows) >= 256:
+                yield pd.DataFrame(out_rows)
+                out_rows = []
+        flush()
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return routed.mapInPandas(
+        pack, schema="pack_id string, tokens array<int>, n_tok int, n_docs int"
+    )

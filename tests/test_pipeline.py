@@ -113,3 +113,36 @@ def test_multimodal_strict_raises(docs):
 
     with _pt.raises(Exception, match="NotImplementedError|real image decode"):
         mm.image_features(media, strict=True).collect()
+
+
+def test_hash_sample_deterministic(spark, docs):
+    from pgoutput2json_spark.pipeline.sampling import hash_sample
+
+    a = sorted(r["doc_id"] for r in hash_sample(docs, 0.5, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(docs.repartition(7), 0.5, "doc_id").collect())
+    assert a == b  # reshard-stable (df.sample is not)
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from pgoutput2json_spark.pipeline.sampling import pack_sequences
+
+    rows = [(str(i), list(range(i % 37 + 1))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    packed = pack_sequences(docs, window=64, eos=-1, packers=4)
+    out = packed.collect()
+    assert out
+    # window bound + n_tok consistency
+    assert all(r["n_tok"] <= 64 and r["n_tok"] == len(r["tokens"]) for r in out)
+    # every token of every doc appears exactly once (count conservation)
+    total_in = sum(len(t) + 1 for _, t in rows)  # +1 eos per doc
+    total_out = sum(r["n_tok"] for r in out)
+    assert total_in == total_out
+    # eos terminates every document
+    assert all(r["tokens"][-1] == -1 for r in out)
+    # deterministic across runs
+    again = {r["pack_id"]: r["tokens"] for r in
+             pack_sequences(docs, window=64, eos=-1, packers=4).collect()}
+    assert {r["pack_id"]: r["tokens"] for r in out} == again

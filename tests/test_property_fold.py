@@ -64,3 +64,32 @@ def test_fold_matches_serial_oracle(spark, tmp_path_factory, events):
     eng.apply_batch(df, 0)
     oracle = Oracle().replay(events)
     assert_matches_oracle(eng, oracle)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(event_seq(), st.integers(min_value=0, max_value=23), st.booleans())
+def test_multi_batch_with_replay_overlap(spark, tmp_path_factory, events, cut, replay_tail):
+    """Events split across two micro-batches at a random point; the second
+    batch optionally re-delivers the first's tail (at-least-once source) —
+    the LSN watermark must dedup it (D2)."""
+    cut = min(cut, len(events))
+    b1, b2 = events[:cut], events[cut:]
+    if replay_tail and b1:
+        b2 = b1[-2:] + b2  # overlap re-delivery
+    root = str(tmp_path_factory.mktemp("propmb"))
+    eng = make_engine(spark, root)
+    oracle = Oracle()
+    for i, batch in enumerate([b1, b2]):
+        if not batch:
+            continue
+        write_jsonl(batch, eng.opts.events_dir, f"{i}.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(
+            f"{eng.opts.events_dir}/{i}.jsonl")
+        eng.apply_batch(df, i)
+        oracle.replay(batch)
+    assert_matches_oracle(eng, oracle)
