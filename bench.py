@@ -52,6 +52,8 @@ PIPELINE_QUERIES = [
     "doc_fingerprint",
     "multimodal_image_features",
     "token_transforms",
+    "sample_hash",
+    "pack_sequences",
 ]
 
 

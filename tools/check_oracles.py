@@ -1,0 +1,82 @@
+import sys, time, traceback
+sys.path.insert(0, "/root/repo")
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .appName("check-oracles").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        # normalize numeric dtypes
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+only = sys.argv[1:] if len(sys.argv) > 1 else None
+qs, osql = E.queries(), E.oracle_sql()
+fails = []
+for name, fn in qs.items():
+    if only and name not in only:
+        continue
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF).toPandas()
+    except Exception:
+        print(f"[{name}] SPARK FAIL")
+        traceback.print_exc(limit=4)
+        fails.append(name)
+        continue
+    if name not in osql:
+        print(f"[{name}] rows-only: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+        if len(sdf) == 0:
+            fails.append(name + " (0 rows)")
+        continue
+    try:
+        odf = con.execute(osql[name]).fetchdf()
+    except Exception:
+        print(f"[{name}] ORACLE SQL FAIL")
+        traceback.print_exc(limit=2)
+        fails.append(name)
+        continue
+    a, b = norm(sdf), norm(odf)
+    ok_cols = list(a.columns) == list(b.columns)
+    ok_rows = len(a) == len(b)
+    ok_vals = ok_cols and ok_rows and a.equals(b)
+    status = "OK" if ok_vals else "MISMATCH"
+    print(f"[{name}] {status} spark={len(sdf)} duck={len(odf)} ({time.time()-t0:.1f}s)")
+    if not ok_vals:
+        fails.append(name)
+        if not ok_cols:
+            print("  cols:", list(a.columns), "vs", list(b.columns))
+        elif ok_rows:
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            print("  first diffs:")
+            print(pd.concat([a[bad].head(3).add_suffix("_spark"),
+                             b[bad].head(3).add_suffix("_duck")], axis=1).to_string())
+        else:
+            print("  row counts differ")
+print("FAILS:", fails if fails else "none")
+spark.stop()
+sys.exit(1 if fails else 0)
