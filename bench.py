@@ -105,6 +105,11 @@ def ensure_events(spark, n_events: int, fmt: str) -> str:
     return path
 
 
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:9]))
+
+
 def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) -> dict:
     from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
 
@@ -120,9 +125,13 @@ def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) ->
             bucket_count=64,
         ),
     )
+    c0 = _cpu_stat()
     t0 = time.time()
     summary = eng.replay_batch()
     dt = time.time() - t0
+    c1 = _cpu_stat()
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = max(sum(d), 1)
     rows = eng.table.read().count()
     shutil.rmtree(work, ignore_errors=True)
     return {
@@ -131,6 +140,11 @@ def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) ->
         "events_per_sec": round(n_events / dt),
         "final_rows": rows,
         "merge_inserted": summary.get("merge.rows_inserted"),
+        # host-contention transparency: this VM timeshares physical cores;
+        # high steal/idle during the run means the wall-clock number
+        # understates engine throughput
+        "cpu_steal_pct": round(100 * d[7] / tot, 1),
+        "cpu_user_pct": round(100 * d[0] / tot, 1),
     }
 
 

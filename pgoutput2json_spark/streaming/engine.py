@@ -60,6 +60,19 @@ class EngineOptions:
     #: K1 app-callback: called with the commit summary after each batch
     post_commit_hook: object | None = None
 
+    def __post_init__(self) -> None:
+        # M2 builder validation (PgOutput2JsonBuilder.cs:126-163 precedent)
+        if self.event_format not in ("jsonl", "parquet"):
+            raise ValueError(f"event_format must be jsonl|parquet, got {self.event_format!r}")
+        if self.apply_mode not in ("exact", "lww"):
+            raise ValueError(f"apply_mode must be exact|lww, got {self.apply_mode!r}")
+        if int(self.bucket_count) <= 0:
+            raise ValueError("bucket_count must be positive")
+        if self.max_files_per_trigger is not None and int(self.max_files_per_trigger) <= 0:
+            raise ValueError("max_files_per_trigger must be positive")
+        if not self.table_root or not self.events_dir or not self.checkpoint_dir:
+            raise ValueError("table_root, events_dir and checkpoint_dir are required")
+
 
 def _relation_fields(rel: RelationSchema) -> list[dict]:
     return [

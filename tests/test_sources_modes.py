@@ -106,3 +106,21 @@ def test_post_commit_hook_and_counters(spark, tmpdir_path):
     assert len(got) == 1 and got[0]["n-events"] == 5
     c = counters_from_table(eng.table)
     assert c["commits"] == 1 and c["events_applied"] == 5 and c["rows_inserted"] == 5
+
+
+def test_engine_options_validation():
+    import pytest as _pt
+
+    from pgoutput2json_spark.streaming.engine import EngineOptions
+
+    with _pt.raises(ValueError, match="event_format"):
+        EngineOptions(table_root="a", events_dir="b", checkpoint_dir="c",
+                      event_format="csv")
+    with _pt.raises(ValueError, match="apply_mode"):
+        EngineOptions(table_root="a", events_dir="b", checkpoint_dir="c",
+                      apply_mode="fast")
+    with _pt.raises(ValueError, match="bucket_count"):
+        EngineOptions(table_root="a", events_dir="b", checkpoint_dir="c",
+                      bucket_count=0)
+    with _pt.raises(ValueError, match="required"):
+        EngineOptions(table_root="", events_dir="b", checkpoint_dir="c")
