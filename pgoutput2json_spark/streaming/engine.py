@@ -59,6 +59,12 @@ class EngineOptions:
     included_columns: tuple | None = None
     #: K1 app-callback: called with the commit summary after each batch
     post_commit_hook: object | None = None
+    #: auto-maintenance: every N apply epochs, compact buckets whose file
+    #: count exceeds the threshold and GC files orphaned by CoW merges
+    #: (0 = disabled).  At 10^10-event scale this runs as a side job.
+    compact_every: int = 0
+    compact_max_files: int = 8
+    expire_keep_last: int = 4
 
     def __post_init__(self) -> None:
         # M2 builder validation (PgOutput2JsonBuilder.cs:126-163 precedent)
@@ -251,6 +257,14 @@ class CdcEngine:
                 expected_version=expected_version,
                 truncate_all=truncating,
             )
+            if (
+                opts.compact_every
+                and epoch_id >= 0
+                and (int(epoch_id) + 1) % int(opts.compact_every) == 0
+            ):
+                table.compact_buckets(opts.compact_max_files,
+                                      summary={"epoch": epoch_id})
+                table.expire_snapshots(keep_last=opts.expire_keep_last)
             if opts.post_commit_hook is not None:
                 opts.post_commit_hook(summary)
             return summary

@@ -102,3 +102,28 @@ def test_bucket_pruning_only_rewrites_touched(spark, tmpdir_path):
     assert len(touched) == 1
     unchanged = [b for b in before if int(b) not in touched]
     assert unchanged and all(before[b] == after[b] for b in unchanged)
+
+
+def test_auto_compaction_and_expiry(spark, tmpdir_path):
+    """compact_every: file counts stay bounded across many epochs and
+    orphaned CoW files get GC'd, with table state intact."""
+    import glob
+
+    eng = make_engine(spark, tmpdir_path, bucket_count=2)
+    eng.opts.compact_every = 3
+    eng.opts.compact_max_files = 2
+    eng.opts.expire_keep_last = 2
+    lsn = 1
+    for epoch in range(6):
+        batch = [ev("I", lsn + i, [f"doc-{(lsn + i) % 7:06d}", [lsn + i], 1, "web"])
+                 for i in range(5)]
+        lsn += 5
+        fp = write_jsonl(batch, eng.opts.events_dir, f"{epoch}.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(fp)
+        eng.apply_batch(df, epoch)
+    files = eng.table.snapshot()["files"]
+    assert max(len(fl) for fl in files.values()) <= 3
+    n_disk = len(glob.glob(f"{eng.table.root}/data/**/*.parquet", recursive=True))
+    n_live = sum(len(fl) for fl in files.values())
+    assert n_disk < 40  # GC happened (6 epochs x 2 buckets + compactions)
+    assert eng.table.read().count() == 7
