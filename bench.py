@@ -64,7 +64,7 @@ def build_spark(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"pg2spark-bench-{cpus}")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", os.environ.get("BENCH_SHUFFLE", str(max(cpus, 8))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # spread post-shuffle stages across all cores even on modest shuffles

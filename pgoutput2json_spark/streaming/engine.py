@@ -65,6 +65,10 @@ class EngineOptions:
     compact_every: int = 0
     compact_max_files: int = 8
     expire_keep_last: int = 4
+    #: cache the raw event batch across the engine's passes.  True is right
+    #: for jsonl (expensive to re-parse); for columnar (parquet) segments the
+    #: pruned re-reads are cheaper than building a full-row cache.
+    cache_events: bool = True
 
     def __post_init__(self) -> None:
         # M2 builder validation (PgOutput2JsonBuilder.cs:126-163 precedent)
@@ -149,7 +153,8 @@ class CdcEngine:
 
         if opts.table_filter:
             events = events.filter(F.col("t") == opts.table_filter)
-        events = events.persist()
+        if opts.cache_events:
+            events = events.persist()
         try:
             committed = table.committed_lsn()
             # one driver action for batch stats + truncate LSN + relation
@@ -269,7 +274,8 @@ class CdcEngine:
                 opts.post_commit_hook(summary)
             return summary
         finally:
-            events.unpersist()
+            if opts.cache_events:
+                events.unpersist()
 
     def _write_lineage(self, grouped: DataFrame, epoch_id: int) -> str:
         """M1 — per-bucket lineage (min/max LSN, event counts) for this
