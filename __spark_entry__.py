@@ -319,29 +319,38 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.22, k=3)
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.22, k=3, max_df=20
+    )
 
 
-SQL_DEDUP_JACCARD = f"""
+def _sql_ngram_jaccard(threshold: float = 0.22, max_df: int = 20) -> str:
+    # mirrors the engine's inverted-index plan (df-capped shingles) but via
+    # an independent brute-force-over-kept-shingles path
+    return f"""
 WITH norm AS (SELECT doc_id, {NORM} AS t FROM documents),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-sh AS (
+shl AS (
   SELECT doc_id,
-         list_sort(list_distinct(list_transform(
+         unnest(list_distinct(list_transform(
            range(1, greatest(len(ws) - 2, 1) + 1),
-           i -> array_to_string(ws[i:i+2], ' ')))) AS shs
+           i -> array_to_string(ws[i:i+2], ' ')))) AS s
   FROM w
 ),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.shs, b.shs)) AS n_common,
-         len(a.shs) AS n_a, len(b.shs) AS n_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+df AS (SELECT s, count(*) AS df FROM shl GROUP BY s),
+kept AS (SELECT doc_id, shl.s FROM shl JOIN df USING (s) WHERE df <= {max_df}),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(n_common / (n_a + n_b - n_common), 6) AS jaccard
-FROM pairs
-WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.22
+       round(n_common / (na.n + nb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE round(n_common / (na.n + nb.n - n_common), 6) >= {threshold}
 """
 
 
@@ -418,13 +427,14 @@ SELECT doc_id, {sig} AS simhash FROM s
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=14, bits=32)
+    # max_hamming=3 with nchunks = max_hamming+1 is pigeonhole-EXACT, so the
+    # oracle below is pure brute force with no candidate-filter coupling
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bits=32)
 
 
-def _sql_simhash_pairs(max_hamming: int = 14, bits: int = 32) -> str:
-    # oracle: brute-force pairs over the same simhash (the engine's chunk-LSH
-    # candidate set is exact for d < chunks via pigeonhole when the pair
-    # agrees on >= 1 of 4 chunks; verified below by the same hamming filter)
+def _sql_simhash_pairs(max_hamming: int = 3, bits: int = 32) -> str:
+    # oracle: independent brute-force O(n^2) hamming join — no banding, so a
+    # recall bug in the engine's chunk-LSH candidate set WOULD show up here
     base = _sql_simhash(bits)
     return f"""
 WITH sh AS ({base})
@@ -432,12 +442,6 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-  AND (
-    (a.simhash & 255) = (b.simhash & 255) OR
-    ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255) OR
-    ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255) OR
-    ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255)
-  )
 """
 
 
@@ -627,10 +631,42 @@ FROM h
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched image feature plumbing (deterministic fake decode) —
-    mapInPandas output; rows-only oracle (binary decode not SQL-expressible)."""
+    """Arrow-batched image feature plumbing (deterministic fake decode) via
+    mapInPandas; the 16-dim feature vector is emitted as scalar columns
+    (f_0..f_15, exact k/256 doubles) so the driver can canonicalize and the
+    DuckDB oracle can recompute the md5-chain decode bit-for-bit."""
     media = mm.synth_media(_docs(spark, sf_dir))
-    return mm.image_features(media, n_feat=16)
+    feats = mm.image_features(media, n_feat=16)
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", j + 1).cast("double").alias(f"f_{j}")
+            for j in range(16)
+        ],
+    )
+
+
+def _sql_image_features(n_feat: int = 16) -> str:
+    # replicate synth_media payload hex + _fake_decode's first md5-chain
+    # round: digest = md5(lower-hex(payload)); f_j = byte_j / 256.0
+    cols = ",\n       ".join(
+        f"(('0x' || substr(dig, {2 * j + 1}, 2))::INT / 256.0) AS f_{j}"
+        for j in range(n_feat)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[
+           (('0x' || substr(h, 1, 8))::BIGINT % 3 + 1)::INT] AS kind,
+         h || reverse(h) || md5(h || 'x') AS hx
+  FROM h
+),
+d AS (SELECT media_id, md5(hx) AS dig FROM m WHERE kind = 'image')
+SELECT media_id,
+       {cols}
+FROM d
+"""
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +691,37 @@ FROM m WHERE kind = 'video'
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.synth_media(_docs(spark, sf_dir))
     return mm.audio_window_stats(media, window_bytes=16)
+
+
+def _sql_audio_stats(window_bytes: int = 16) -> str:
+    # the 48-byte payload hex is md5(text)||reverse(md5)||md5(md5||'x');
+    # window w covers hex chars [w*2B+1, w*2B+2B]; byte i = hex pair 2i
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[
+           (('0x' || substr(h, 1, 8))::BIGINT % 3 + 1)::INT] AS kind,
+         h || reverse(h) || md5(h || 'x') AS hx
+  FROM h
+),
+w AS (
+  SELECT media_id, unnest(range(0, {48 // window_bytes})) AS win, hx
+  FROM m WHERE kind = 'audio'
+),
+b AS (
+  SELECT media_id, win,
+         list_transform(
+           range(0, {window_bytes}),
+           i -> ('0x' || substr(hx, win * {2 * window_bytes} + 2 * i + 1, 2))::INT
+         ) AS bytes
+  FROM w
+)
+SELECT media_id, win::INT AS "window",
+       (list_sum(bytes) / {window_bytes}.0) / 255.0 AS mean_amp,
+       list_max(bytes)::INT AS peak
+FROM b
+"""
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,19 +756,41 @@ WHERE {MD5L.format(x='doc_id::VARCHAR')} / 1152921504606846976.0 <
 """
 
 
+def _synth_tokens() -> "F.Column":
+    """Deterministic token arrays from embeddings: abs(x*10000) truncated
+    mod vocab.  double arithmetic (float->double is exact) so the DuckDB
+    oracle's ``trunc(abs(x::DOUBLE * 10000))`` is bit-identical."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: (F.abs(x.cast("double") * 10000).cast("bigint") % 50257).cast("int"),
+    ).alias("tokens")
+
+
+#: DuckDB twin of ``_synth_tokens`` (trunc: Spark's double->int cast truncates,
+#: DuckDB's rounds)
+SQL_SYNTH_TOKENS = (
+    "list_transform(embedding, x -> "
+    "(CAST(trunc(abs(x::DOUBLE * 10000)) AS BIGINT) % 50257)::INT)"
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing of synthetic token arrays into 512-token
-    training windows (mapInPandas — rows-only oracle; invariants in pytest)."""
+    training windows (mapInPandas — rows-only oracle: the greedy fold is a
+    sequential recurrence, not SQL-expressible; invariants in pytest).  The
+    packed array is emitted as an md5 digest so the driver can canonicalize."""
+    from pgoutput2json_spark.functions.tokens import tokens_digest
     from pgoutput2json_spark.pipeline.sampling import pack_sequences
 
     emb = _emb(spark, sf_dir)
-    toks = emb.select(
-        F.col("vec_id").cast("string").alias("doc_id"),
-        F.transform(
-            F.col("embedding"), lambda x: (F.abs(x * 10000).cast("int") % 50257)
-        ).alias("tokens"),
+    toks = emb.select(F.col("vec_id").alias("doc_id"), _synth_tokens())
+    packed = pack_sequences(toks, window=512, eos=0, packers=4)
+    return packed.select(
+        "pack_id",
+        tokens_digest(F.col("tokens")).alias("tokens_digest"),
+        "n_tok",
+        "n_docs",
     )
-    return pack_sequences(toks, window=512, eos=0, packers=4)
 
 
 def q_token_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,18 +803,31 @@ def q_token_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    toks = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"), lambda x: (F.abs(x * 10000).cast("int") % 50257)
-        ).alias("tokens"),
-    )
+    toks = emb.select("vec_id", _synth_tokens())
     return toks.select(
         "vec_id",
         recompute_n_tok(F.col("tokens")).alias("n_tok_jvm"),
         n_tok_pandas(F.col("tokens")).alias("n_tok_arrow"),
         F.round(token_entropy(F.col("tokens")), 6).alias("entropy"),
     )
+
+
+SQL_TOKEN_TRANSFORMS = f"""
+WITH toks AS (SELECT vec_id, {SQL_SYNTH_TOKENS} AS tokens FROM embeddings),
+u AS (
+  SELECT vec_id, t, count(*)::DOUBLE AS c
+  FROM (SELECT vec_id, unnest(tokens) AS t FROM toks)
+  GROUP BY vec_id, t
+),
+tot AS (SELECT vec_id, sum(c) AS n FROM u GROUP BY vec_id),
+ent AS (
+  SELECT u.vec_id, -sum((c / n) * log2(c / n)) AS e
+  FROM u JOIN tot USING (vec_id) GROUP BY u.vec_id
+)
+SELECT t.vec_id, len(t.tokens)::INT AS n_tok_jvm, len(t.tokens)::INT AS n_tok_arrow,
+       round(ent.e, 6) AS entropy
+FROM toks t JOIN ent USING (vec_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -812,7 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_watermark": SQL_CDC_WATERMARK,
         "cdc_lineage_stats": SQL_CDC_LINEAGE,
         "dedup_exact": SQL_DEDUP_EXACT,
-        "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_ngram_jaccard": _sql_ngram_jaccard(threshold=0.22, max_df=20),
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _sql_simhash(),
         "dedup_simhash_pairs": _sql_simhash_pairs(),
@@ -825,8 +927,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_media": SQL_MULTIMODAL_MEDIA,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
+        "multimodal_image_features": _sql_image_features(n_feat=16),
+        "multimodal_audio_stats": _sql_audio_stats(window_bytes=16),
+        "token_transforms": SQL_TOKEN_TRANSFORMS,
         "sample_hash": SQL_SAMPLE_HASH,
         "sample_stratified": SQL_SAMPLE_STRAT,
-        # rows-only (Arrow/binary plumbing, not SQL-expressible):
-        #   multimodal_image_features, multimodal_audio_stats, token_transforms
+        # rows-only (sequential greedy fold, not SQL-expressible):
+        #   pack_sequences (array payload emitted as md5 digest)
     }

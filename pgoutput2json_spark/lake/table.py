@@ -19,6 +19,13 @@ with the same guarantees:
   ``pmod(xxhash64(key), N)``: data files are grouped per bucket so a merge
   rewrites only touched buckets (copy-on-write) and scans prune by bucket —
   the scale story for 10^10 events / 100 TB.
+- **Merge-on-read deltas** (Iceberg v2 equality-delete analogue): a commit
+  may instead *append* per-bucket delta files — one folded row per touched
+  key plus ``__deleted`` tombstones and the commit version ``__dv`` — so
+  per-epoch bytes written are proportional to the batch, not to the table
+  (CoW rewrites every touched bucket; with uniform keys that is the whole
+  table every epoch).  ``read()`` folds deltas over the base with one
+  per-key ``max_by(__dv)``; compaction folds deltas back into base files.
 - **Metadata-only schema evolution**: add-column and int->bigint widening
   change only the snapshot schema; old files are read through the new schema
   (missing column -> null, int32 -> int64 upcast — both verified supported by
@@ -38,6 +45,7 @@ Snapshot JSON::
      "schema": [{"name":..., "type": <simpleString>, "oid": ...}, ...],
      "bucket_column": "doc_id", "bucket_count": 16,
      "files": {"0": ["data/.../part-x.parquet", ...], ...},
+     "deltas": {"0": ["data/d.../part-y.parquet", ...], ...},  # MoR logs
      "summary": {...},        # this commit's properties
      "properties": {...}}     # cumulative table properties
 """
@@ -94,6 +102,7 @@ class LakeTable:
             "bucket_column": bucket_column,
             "bucket_count": int(bucket_count),
             "files": {},
+            "deltas": {},
             "summary": {"operation": "create"},
             "properties": dict(properties or {}),
             "timestamp_ms": int(time.time() * 1000),

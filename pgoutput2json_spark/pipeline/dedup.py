@@ -79,6 +79,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with k-gram Jaccard >= threshold.
 
@@ -87,11 +88,26 @@ def ngram_jaccard_pairs(
     vs brute force while shuffling only (shingle_hash, id) pairs.  Exact
     Jaccard is then |A∩B| / (|A|+|B|-|A∩B|) from the per-pair intersection
     count — no arrays are carried through the join.
+
+    ``max_df`` is the scale guard: a shingle appearing in n documents yields
+    n(n-1)/2 join rows, so one boilerplate phrase at 10^9 docs is O(10^18)
+    pairs.  Shingles with document frequency > max_df are dropped BEFORE the
+    self-join (Jaccard is then defined over the df-filtered shingle sets —
+    the stopword-removal convention); the hot list is tiny by construction
+    (few shingles can exceed a large df), so it broadcasts.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     ).select("id", F.md5("shingle").alias("sh"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -230,30 +246,44 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
 
 def simhash_pairs(
     docs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    nchunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    """Near-dup pairs by SimHash hamming distance <= max_hamming — EXACT.
 
-    Candidates via banding the signature into 4 chunks (pigeonhole: any pair
-    within hamming d <= 6 agrees on at least one 8-bit chunk when d < 4...
-    for small d; chunk-join keeps this O(candidates), with the exact hamming
-    filter after).
+    Candidates via banding the signature into ``nchunks`` disjoint chunks
+    (default ``max_hamming + 1``): by pigeonhole, any pair within hamming
+    distance ``max_hamming`` has fewer differing bits than chunks, so at
+    least one chunk matches exactly — recall is 1.0, not probabilistic.
+    The chunk equi-join keeps this O(candidates); the exact hamming filter
+    runs after.  Wider chunks (fewer chunks) shrink the candidate set, so
+    small ``max_hamming`` is both exact and cheap; for large distances use
+    MinHash-LSH instead.
     """
     s = simhash(docs, bits, text_col, id_col)
-    nchunks = 4
-    width = bits // nchunks
+    if nchunks is None:
+        nchunks = max_hamming + 1
+    if nchunks > bits:
+        raise ValueError(f"nchunks {nchunks} exceeds signature bits {bits}")
+    base, extra = divmod(bits, nchunks)
+    spans: list[tuple[int, int]] = []  # (start_bit, width) partition of bits
+    pos = 0
+    for c in range(nchunks):
+        width = base + (1 if c < extra else 0)
+        spans.append((pos, width))
+        pos += width
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("c"),
-                F.shiftright(F.col("simhash"), c * width)
+                F.shiftright(F.col("simhash"), start)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("v"),
             )
-            for c in range(nchunks)
+            for c, (start, width) in enumerate(spans)
         ]
     )
     cs = s.select("id", "simhash", F.explode(chunks).alias("e")).select(

@@ -53,9 +53,14 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def _fake_decode(payload: bytes, n_feat: int) -> np.ndarray:
     """Deterministic stand-in for an image decoder: hash-expand the payload
-    into n_feat floats in [0, 1).  REPLACE with e.g. PIL+resnet features."""
+    into n_feat floats in [0, 1).  REPLACE with e.g. PIL+resnet features.
+
+    The chain seeds from the payload's lowercase hex (not the raw bytes) so
+    an independent SQL engine can recompute the first digest with a plain
+    ``md5(varchar)`` — the cross-engine oracle for the Arrow plumbing.
+    """
     out = np.empty(n_feat, dtype=np.float32)
-    buf = payload
+    buf = payload.hex().encode("ascii")
     i = 0
     while i < n_feat:
         buf = hashlib.md5(buf).digest()
@@ -135,7 +140,8 @@ def audio_window_stats(media: DataFrame, window_bytes: int = 8) -> DataFrame:
                 wins = arr[: n * window_bytes].reshape(n, window_bytes)
                 rows["media_id"].extend([mid] * n)
                 rows["window"].extend(range(n))
-                rows["mean_amp"].extend(np.round(wins.mean(axis=1) / 255.0, 6))
+                # exact double (sum/16)/255 — bit-identical to the SQL oracle
+                rows["mean_amp"].extend(wins.mean(axis=1) / 255.0)
                 rows["peak"].extend((wins.max(axis=1)).astype(int))
             yield pd.DataFrame(rows)
 

@@ -56,24 +56,31 @@ def pack_sequences(
 ) -> DataFrame:
     """Greedy first-fit-decreasing-ish packing into fixed windows.
 
-    Documents are hash-routed to ``packers`` independent packers (default:
-    one per shuffle partition); each packer streams its Arrow batches in
-    ``id_col`` order, concatenating ``tokens + [eos]`` until the window
-    would overflow, then emits the packed sequence.  Output:
+    Documents are hash-routed to ``packers`` independent packers (default
+    64; size it ~ input partitions at scale); each packer streams its Arrow
+    batches in ``id_col`` order, concatenating ``tokens + [eos]`` until the
+    window would overflow, then emits the packed sequence.  Output:
     ``(pack_id string, tokens array<int>, n_tok int, n_docs int)``; every
     emitted window is <= ``window`` long and document order within a pack
     is ascending — asserted in tests.  Oversized documents are truncated to
     the window (standard practice).
     """
-    routed = docs.select(F.col(id_col).cast("string").alias("id"), F.col(tokens_col).alias("toks"))
-    if packers:
-        routed = routed.repartition(packers, F.pmod(F.xxhash64("id"), F.lit(packers)))
-    routed = routed.sortWithinPartitions("id")
+    packers = packers or 64
+    routed = (
+        docs.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(packers)).alias("pk"),
+            F.col(id_col).cast("string").alias("id"),
+            F.col(tokens_col).alias("toks"),
+        )
+        # same pk -> same partition; a partition may hold several pks, so the
+        # packer id travels in-band (pk column), never from TaskContext —
+        # pack_ids are deterministic under any partitioning/retry
+        .repartition(packers, F.col("pk"))
+        .sortWithinPartitions("pk", "id")
+    )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-
-        part = None
+        part: int | None = None  # current pk (rows arrive pk-major)
         buf: list[int] = []
         n_docs = 0
         seq = 0
@@ -96,12 +103,10 @@ def pack_sequences(
         for pdf in batches:
             if pdf.empty:
                 continue
-            if part is None:
-                from pyspark import TaskContext
-
-                ctx = TaskContext.get()
-                part = ctx.partitionId() if ctx else os.getpid()
-            for toks in pdf["toks"]:
+            for pk, toks in zip(pdf["pk"], pdf["toks"]):
+                if pk != part:
+                    flush()
+                    part, seq = int(pk), 0
                 if toks is None:
                     continue
                 t = list(toks)[: window - 1] + [eos]
