@@ -302,6 +302,160 @@ FROM ev GROUP BY doc_id % 16
 """
 
 
+def q_cdc_default_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT JsonWriteMode ingest: {"col": value} object payloads
+    (JsonOptions.cs:46, JsonWriter.cs:208-230) parsed by
+    parse_default_events -> exact apply.  Exercises: object-form parse,
+    absent-column skip (WriteNulls=false), object-form TOAST sentinel,
+    delete-by-object-key."""
+    from pgoutput2json_spark.operators.explode import explode_key_updates
+    from pgoutput2json_spark.operators.parse import parse_default_events
+    from pgoutput2json_spark.schema import ColumnSpec, RelationSchema
+
+    docs = _docs(spark, sf_dir)
+    rel = RelationSchema("public.docs_cdc", [
+        ColumnSpec("doc_id", True, 20),
+        ColumnSpec("text", False, 25),
+        ColumnSpec("source", False, 25),
+        ColumnSpec("n_chars", False, 20),
+    ])
+    fields = [
+        {"name": "doc_id", "type": "bigint", "oid": 20},
+        {"name": "text", "type": "string", "oid": 25},
+        {"name": "source", "type": "string", "oid": 25},
+        {"name": "n_chars", "type": "bigint", "oid": 20},
+    ]
+    nomap = F.lit(None).cast("map<string,string>")
+    ins = docs.select(
+        F.lit("I").alias("c"),
+        (F.col("doc_id") * 10 + 1).cast("long").alias("w"),
+        nomap.alias("k"),
+        F.create_map(
+            F.lit("doc_id"), F.col("doc_id").cast("string"),
+            F.lit("text"), F.col("text"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("r"),
+    )
+    upd = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.lit("U").alias("c"),
+        (F.lit(10_000_000) + F.col("doc_id")).cast("long").alias("w"),
+        nomap.alias("k"),
+        F.create_map(  # n_chars ABSENT (not-set); text TOAST'd
+            F.lit("doc_id"), F.col("doc_id").cast("string"),
+            F.lit("text"), F.lit("__TOAST__"),
+            F.lit("source"), F.lit("flt"),
+        ).alias("r"),
+    )
+    dele = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.lit("D").alias("c"),
+        (F.lit(20_000_000) + F.col("doc_id")).cast("long").alias("w"),
+        F.create_map(F.lit("doc_id"), F.col("doc_id").cast("string")).alias("k"),
+        nomap.alias("r"),
+    )
+    events = ins.unionByName(upd).unionByName(dele)
+    parsed = parse_default_events(events, [(-1, rel)], fields)
+    flat = explode_key_updates(parsed, [f["name"] for f in fields])
+    out = apply_change_events(flat, CDC_FIELDS, "doc_id", state_key=True)
+    return out.select("doc_id", "text", "source", "n_chars")
+
+
+SQL_CDC_DEFAULT_JSON = """
+SELECT doc_id, text,
+       CASE WHEN doc_id % 4 = 0 THEN 'flt' ELSE source END AS source,
+       n_chars
+FROM documents WHERE doc_id % 9 <> 0
+"""
+
+
+def q_cdc_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite primary key (source, doc_id): the same doc_id under two
+    sources stays independent; merge key = KEY_SEP join of the key slots
+    (multi-column WHERE precedent, SqliteConnectionExtensions.cs:316-344)."""
+    from pgoutput2json_spark.operators.parse import composite_key
+
+    docs = _docs(spark, sf_dir)
+    fields = [("doc_id", "bigint"), ("source", "string"), ("n_chars", "bigint")]
+
+    def key(src, did):
+        return composite_key([src.cast("string"), did.cast("string")])
+
+    def mk(df, op, lsn0, src, nch, set_src=True):
+        return df.select(
+            key(src, F.col("doc_id")).alias("doc_id"),
+            (F.lit(lsn0) + F.col("doc_id")).cast("long").alias("lsn"),
+            F.lit(1).alias("sub"),
+            F.lit(op).alias("op"),
+            fcol(F.lit(op != "D"), F.col("doc_id"), "bigint").alias("f_doc_id"),
+            fcol(F.lit(op != "D" and set_src), src, "string").alias("f_source"),
+            fcol(F.lit(op != "D"), nch, "bigint").alias("f_n_chars"),
+        )
+
+    ins = mk(docs, "I", 0, F.col("source"), F.col("n_chars"))
+    alt = mk(docs.filter(F.col("doc_id") % 3 == 0), "I", 5_000_000,
+             F.lit("alt"), F.col("n_chars") + 5000)
+    upd = mk(docs.filter(F.col("doc_id") % 2 == 0), "U", 10_000_000,
+             F.col("source"), F.col("n_chars") + 1000, set_src=False)
+    dele = mk(docs.filter(F.col("doc_id") % 6 == 0), "D", 20_000_000,
+              F.lit("alt"), F.lit(None))
+    events = ins.unionByName(alt).unionByName(upd).unionByName(dele)
+    out = apply_change_events(events, fields, "doc_id", state_key=True)
+    return out.select("doc_id", "source", "n_chars")
+
+
+SQL_CDC_COMPOSITE_KEY = """
+SELECT doc_id, source,
+       n_chars + CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 0 END AS n_chars
+FROM documents
+UNION ALL
+SELECT doc_id, 'alt' AS source, n_chars + 5000 AS n_chars
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+"""
+
+
+def q_cdc_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 publication row filter 'n_chars >= 300' over row images
+    (DataExporter.cs:505-539): filtered inserts dropped, updates crossing
+    the boundary enter (upsert) or leave (delete-translate) the table."""
+    from pgoutput2json_spark.operators.explode import explode_key_updates
+    from pgoutput2json_spark.operators.rowfilter import apply_row_filter
+
+    docs = _docs(spark, sf_dir)
+    names = [n for n, _ in CDC_FIELDS]
+
+    def full(df, op, lsn0, nch):
+        return df.select(
+            F.lit(op).alias("op"),
+            (F.lit(lsn0) + F.col("doc_id")).cast("long").alias("lsn"),
+            F.lit(None).cast("string").alias("old_key"),
+            F.col("doc_id").cast("string").alias("new_key"),
+            fcol(F.lit(True), F.col("doc_id"), "bigint").alias("f_doc_id"),
+            fcol(F.lit(True), F.col("text"), "string").alias("f_text"),
+            fcol(F.lit(True), F.col("source"), "string").alias("f_source"),
+            fcol(F.lit(True), nch, "bigint").alias("f_n_chars"),
+        )
+
+    ins = full(docs, "I", 0, F.col("n_chars"))
+    up_in = full(docs.filter(F.col("doc_id") % 3 == 0), "U", 10_000_000,
+                 F.col("n_chars") + 1000)   # always passes -> enters/updates
+    up_out = full(docs.filter(F.col("doc_id") % 10 == 0), "U", 30_000_000,
+                  F.lit(5))                 # fails -> translated to delete
+    events = ins.unionByName(up_in).unionByName(up_out)
+    filtered = apply_row_filter(events, names, "n_chars >= 300")
+    flat = explode_key_updates(filtered, names)
+    out = apply_change_events(flat, CDC_FIELDS, "doc_id", state_key=True)
+    return out.select("doc_id", "source", "n_chars")
+
+
+SQL_CDC_ROW_FILTER = """
+SELECT doc_id, source, n_chars + 1000 AS n_chars
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 0
+UNION ALL
+SELECT doc_id, source, n_chars
+FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 0 AND n_chars >= 300
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -484,30 +638,36 @@ def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP-LSH buckets + exact cosine."""
-    return sim.cosine_neardup_pairs(_emb(spark, sf_dir), dim=64, threshold=0.25, planes=6)
+    """Embedding-cosine near-dup pairs via multi-band SRP-LSH + exact cosine
+    (3 bands x 8 planes: union of candidates — recall and bucket-skew both
+    beat the single-band variant; see BENCH notes on candidate-set size)."""
+    return sim.cosine_neardup_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.25, planes=8, bands=3
+    )
 
 
-def _sql_srp_neardup(dim: int = 64, planes: int = 8, threshold: float = 0.5) -> str:
+def _sql_srp_neardup(dim: int = 64, planes: int = 8, bands: int = 3,
+                     threshold: float = 0.5) -> str:
     return f"""
-WITH planes AS (
-  SELECT j, d,
-         (({MD5L.format(x="'srp:' || j || ':' || d")}) % 2001 - 1000)::DOUBLE AS h
-  FROM range(0, {planes}) t1(j) CROSS JOIN range(0, {dim}) t2(d)
+WITH pl AS (
+  SELECT jg // {planes} AS band, jg % {planes} AS j, d,
+         (({MD5L.format(x="'srp:' || jg || ':' || d")}) % 2001 - 1000)::DOUBLE AS h
+  FROM range(0, {bands * planes}) t1(jg) CROSS JOIN range(0, {dim}) t2(d)
 ),
 comp AS (
-  SELECT e.vec_id, p.j, sum(e.embedding[p.d + 1]::DOUBLE * p.h) AS dp
-  FROM embeddings e JOIN planes p ON true
-  GROUP BY e.vec_id, p.j
+  SELECT e.vec_id, pl.band, pl.j, sum(e.embedding[pl.d + 1]::DOUBLE * pl.h) AS dp
+  FROM embeddings e JOIN pl ON true
+  GROUP BY e.vec_id, pl.band, pl.j
 ),
 buck AS (
-  SELECT vec_id,
+  SELECT vec_id, band,
          sum(CASE WHEN dp > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
-  FROM comp GROUP BY vec_id
+  FROM comp GROUP BY vec_id, band
 ),
 cand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buck a JOIN buck b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT c.id_a, c.id_b,
        round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
@@ -838,7 +998,12 @@ FROM toks t JOIN ent USING (vec_id)
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CDC replay through the real engine — synthesize a
     deterministic WAL (insert/update/delete/key-update/TOAST + snapshot
-    bootstrap) and replay it into a lake table; returns the final state."""
+    bootstrap) and replay it into a lake table; returns the final state.
+
+    The result is staged to a session-scoped temp parquet and returned as a
+    lazy scan — no whole-table ``collect()`` on the driver (the habit that
+    dies at 100 TB); cleanup happens at interpreter exit."""
+    import atexit
     import shutil
     import tempfile
 
@@ -850,24 +1015,24 @@ def entry(spark: SparkSession) -> DataFrame:
     from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
 
     root = tempfile.mkdtemp(prefix="pg2spark-entry-")
-    try:
-        spec = GeneratorSpec(n_events=5_000, n_keys=500, seed=42, snapshot_keys=200)
-        write_events(generate_events(spark, spec), f"{root}/events", "jsonl", 4)
-        eng = CdcEngine(
-            spark,
-            EngineOptions(
-                table_root=f"{root}/table",
-                events_dir=f"{root}/events",
-                checkpoint_dir=f"{root}/ckpt",
-                bucket_count=16,
-            ),
-        )
-        eng.replay_batch()
-        out = eng.table.read()
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    spec = GeneratorSpec(n_events=5_000, n_keys=500, seed=42, snapshot_keys=200)
+    write_events(generate_events(spark, spec), f"{root}/events", "jsonl", 4)
+    eng = CdcEngine(
+        spark,
+        EngineOptions(
+            table_root=f"{root}/table",
+            events_dir=f"{root}/events",
+            checkpoint_dir=f"{root}/ckpt",
+            bucket_count=16,
+        ),
+    )
+    eng.replay_batch()
+    eng.table.read().write.mode("overwrite").parquet(f"{root}/out")
+    # drop everything except the staged result (events/ckpt/table are bulky)
+    for sub in ("events", "ckpt", "table"):
+        shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+    return spark.read.parquet(f"{root}/out")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -880,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_dedup_watermark": q_cdc_dedup_watermark,
         "cdc_lineage_stats": q_cdc_lineage_stats,
+        "cdc_default_json": q_cdc_default_json,
+        "cdc_composite_key": q_cdc_composite_key,
+        "cdc_row_filter": q_cdc_row_filter,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -913,6 +1081,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_window": SQL_CDC_LWW,
         "cdc_dedup_watermark": SQL_CDC_WATERMARK,
         "cdc_lineage_stats": SQL_CDC_LINEAGE,
+        "cdc_default_json": SQL_CDC_DEFAULT_JSON,
+        "cdc_composite_key": SQL_CDC_COMPOSITE_KEY,
+        "cdc_row_filter": SQL_CDC_ROW_FILTER,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _sql_ngram_jaccard(threshold=0.22, max_df=20),
         "dedup_minhash_lsh": _sql_minhash_lsh(),
@@ -920,7 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "ann_topk_bruteforce": SQL_ANN_TOPK,
         "ann_gemm_topk": SQL_ANN_TOPK,
-        "embedding_neardup": _sql_srp_neardup(dim=64, planes=6, threshold=0.25),
+        "embedding_neardup": _sql_srp_neardup(dim=64, planes=8, bands=3, threshold=0.25),
         "text_langid": _sql_langid(),
         "text_quality": _sql_quality(),
         "text_tokens": SQL_TEXT_TOKENS,

@@ -40,6 +40,9 @@ CACHE = os.environ.get("BENCH_CACHE", "/tmp/pg2spark-bench")
 PIPELINE_QUERIES = [
     "cdc_lww_window",
     "cdc_dedup_watermark",
+    "cdc_default_json",
+    "cdc_composite_key",
+    "cdc_row_filter",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -148,6 +151,106 @@ def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) ->
     }
 
 
+def ensure_writeamp_events(spark, n_events: int, fmt: str) -> str:
+    """WAL for the write-amplification contrast: a full-keyspace snapshot
+    bootstrap (w=0, lands in the first epoch) followed by an update-heavy
+    stream over the SAME keyspace — each later epoch touches ~n/8 of the
+    keys, i.e. batch << table, the realistic steady-state CDC shape."""
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+
+    path = f"{CACHE}/wa-events-{n_events}-{fmt}"
+    marker = f"{path}/_BENCH_READY"
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    spec = GeneratorSpec(
+        n_events=n_events,
+        n_keys=n_events,          # keyspace == table size: updates are sparse
+        snapshot_keys=n_events,   # bootstrap the whole keyspace at w=0
+        seed=42,
+        update_pct=60,
+        delete_pct=5,
+        keyupdate_pct=0,
+        toast_pct=5,
+        hot_pct=1,
+        max_tokens=64,
+    )
+    write_events(generate_events(spark, spec), path, fmt, max(CPUS * 2, 16))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def _snapshot_file_bytes(table, snap) -> dict[str, int]:
+    out = {}
+    for kind in ("files", "deltas"):
+        for fl in snap.get(kind, {}).values():
+            for f in fl:
+                p = os.path.join(table.root, f)
+                if os.path.exists(p):
+                    out[f] = os.path.getsize(p)
+    return out
+
+
+def run_cdc_stream_writeamp(spark, events_dir: str, fmt: str, n_events: int,
+                            mode: str, epochs: int = 8) -> dict:
+    """Multi-epoch streaming replay measuring per-epoch bytes written —
+    the CoW-vs-MoR write-amplification contrast (VERDICT r1 #2: CoW
+    rewrites every touched bucket per epoch; MoR appends batch-sized
+    deltas)."""
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    n_files = max(CPUS * 2, 16)
+    work = f"{CACHE}/writeamp-{mode}-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    eng = CdcEngine(
+        spark,
+        EngineOptions(
+            table_root=f"{work}/table",
+            events_dir=events_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format=fmt,
+            bucket_count=64,
+            merge_mode=mode,
+            max_files_per_trigger=max(n_files // epochs, 1),
+        ),
+    )
+    t0 = time.time()
+    eng.run_until_drained(1200)
+    dt = time.time() - t0
+    snaps = eng.table.snapshots()
+    per_epoch = []
+    prev: set = set()
+    for s in snaps:
+        files = set()
+        for kind in ("files", "deltas"):
+            for fl in s.get(kind, {}).values():
+                files.update(fl)
+        if s["summary"].get("operation") == "cdc-apply":
+            new = files - prev
+            per_epoch.append(sum(
+                os.path.getsize(os.path.join(eng.table.root, f))
+                for f in new if os.path.exists(os.path.join(eng.table.root, f))
+            ))
+        prev = files
+    table_bytes = sum(_snapshot_file_bytes(eng.table, snaps[-1]).values())
+    rows = eng.table.read().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "sec": round(dt, 2),
+        "events_per_sec": round(n_events / dt),
+        "epochs": len(per_epoch),
+        "bytes_per_epoch_avg": round(sum(per_epoch) / max(len(per_epoch), 1)),
+        "bytes_per_epoch": per_epoch,
+        "final_table_bytes": table_bytes,
+        "final_rows": rows,
+    }
+
+
 def warmup(spark) -> None:
     """One tiny replay to JIT-compile the fold/merge codegen (a streaming
     engine is long-running; steady-state throughput is the metric)."""
@@ -175,6 +278,15 @@ def main() -> None:
     r2 = run_cdc_replay(spark, ev_dir2, "jsonl", jsonl_events, f"jsonl-{CPUS}")
     queries["cdc_replay_jsonl"] = r2["sec"]
     cdc["jsonl"] = r2
+
+    # --- write-amplification: 8-epoch streaming replay, CoW vs MoR ----------
+    wa_events = max(N_EVENTS // 8, 1000)
+    wa_dir = ensure_writeamp_events(spark, wa_events, FORMAT)
+    cdc["writeamp"] = {}
+    for mode in ("cow", "mor"):
+        w = run_cdc_stream_writeamp(spark, wa_dir, FORMAT, wa_events * 2, mode)
+        cdc["writeamp"][mode] = w
+        queries[f"cdc_stream_{mode}"] = w["sec"]
 
     # --- pipeline queries ----------------------------------------------------
     import __spark_entry__ as entrymod

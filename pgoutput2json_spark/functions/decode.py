@@ -124,12 +124,13 @@ def pg_text_array(s: pd.Series) -> pd.Series:
     return s.map(parse)
 
 
-def decode_by_oid(col: Column, oid: int) -> Column:
+def decode_by_oid(col: Column, oid: int, typmod: int = -1) -> Column:
     """OID-dispatched decode of a PG text value into its Spark-typed column
-    (mirrors the reference's dispatch, JsonWriter.cs:316-370)."""
+    (mirrors the reference's dispatch, JsonWriter.cs:316-370; NUMERIC typmod
+    yields exact decimals, SqliteConnectionExtensions.cs:544-553)."""
     from pgoutput2json_spark.schema import oid_to_spark_type
 
-    t = oid_to_spark_type(oid)
+    t = oid_to_spark_type(oid, typmod)
     s = t.simpleString()
     if oid == 16:
         return pg_bool(col)

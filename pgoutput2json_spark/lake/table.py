@@ -88,9 +88,12 @@ class LakeTable:
         bucket_column: str,
         bucket_count: int = 16,
         properties: dict | None = None,
+        key_columns: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is a list of
-        ``{"name":..., "type": <spark simpleString>, "oid": <pg oid>}``."""
+        ``{"name":..., "type": <spark simpleString>, "oid": <pg oid>}``.
+        ``key_columns`` (default ``[bucket_column]``) is the primary key;
+        composite keys merge/bucket on the KEY_SEP-joined string form."""
         t = LakeTable(spark, root)
         os.makedirs(t._meta, exist_ok=True)
         if t.current_version() is not None:
@@ -101,6 +104,7 @@ class LakeTable:
             "schema": schema,
             "bucket_column": bucket_column,
             "bucket_count": int(bucket_count),
+            "key_columns": list(key_columns or [bucket_column]),
             "files": {},
             "deltas": {},
             "summary": {"operation": "create"},
@@ -177,13 +181,31 @@ class LakeTable:
         return self.snapshot()["bucket_column"]
 
     @property
+    def key_columns(self) -> list[str]:
+        snap = self.snapshot()
+        return list(snap.get("key_columns") or [snap["bucket_column"]])
+
+    @property
     def bucket_count(self) -> int:
         return int(self.snapshot()["bucket_count"])
 
+    def key_expr(self, prefix: str = ""):
+        """The merge-key expression over table rows: the key column for
+        single keys, else the KEY_SEP join of the key columns' string forms
+        (must equal the event side's raw-slot-text join — holds for
+        text/number keys)."""
+        from pgoutput2json_spark.operators.parse import composite_key
+
+        return composite_key(
+            [F.col(f"{prefix}{c}").cast("string") for c in self.key_columns]
+        )
+
     def bucket_expr(self, col: str | None = None):
-        """The partition-spec transform ``bucket(N, key)``."""
-        c = col or self.bucket_column
-        return F.pmod(F.xxhash64(F.col(c)), F.lit(self.bucket_count)).cast("int")
+        """The partition-spec transform ``bucket(N, key)``.  ``col`` names a
+        precomputed merge-key column (e.g. the parsed events' ``doc_id``);
+        default is the table rows' key expression."""
+        key = F.col(col) if col is not None else self.key_expr()
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(self.bucket_count)).cast("int")
 
     # ------------------------------------------------- schema evolution (E2)
 
@@ -225,7 +247,9 @@ class LakeTable:
             "schema": out,
             "bucket_column": cur["bucket_column"],
             "bucket_count": cur["bucket_count"],
+            "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": cur["files"],
+            "deltas": cur.get("deltas", {}),
             "summary": {"operation": "evolve", **(summary or {})},
             "properties": cur["properties"],
             "timestamp_ms": int(time.time() * 1000),
@@ -235,29 +259,71 @@ class LakeTable:
 
     # ---------------------------------------------------------- read path
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Read current table state; optionally only the given buckets
-        (partition pruning — only those buckets' files are listed)."""
-        snap = self.snapshot()
-        files: list[str] = []
-        sel = set(map(str, buckets)) if buckets is not None else None
-        for b, fl in snap["files"].items():
+    def _listed_files(self, snap: dict, kind: str, sel: set | None) -> list[str]:
+        out: list[str] = []
+        for b, fl in snap.get(kind, {}).items():
             if sel is None or b in sel:
-                files.extend(os.path.join(self.root, f) for f in fl)
-        schema = self.spark_schema()
-        if not files:
-            return self.spark.createDataFrame([], schema)
+                out.extend(os.path.join(self.root, f) for f in fl)
+        return out
+
+    def _read_state(self, snap: dict, buckets: list[int] | None) -> DataFrame:
+        """Materialize the logical table state of one snapshot: base files
+        overlaid with merge-on-read deltas (latest ``__dv`` per key wins;
+        ``__deleted`` tombstones drop the key)."""
+        schema = T.StructType(
+            [T.StructField(c["name"], _parse_type(c["type"]), True)
+             for c in snap["schema"]]
+        )
+        sel = set(map(str, buckets)) if buckets is not None else None
+        base_files = self._listed_files(snap, "files", sel)
+        delta_files = self._listed_files(snap, "deltas", sel)
         # Explicit schema: old files read through the current schema
         # (missing column -> null, int32 -> int64 upcast) = metadata-only
         # evolution, verified on Spark 4.1's vectorized parquet reader.
-        return self.spark.read.schema(schema).parquet(*files)
+        base = (
+            self.spark.read.schema(schema).parquet(*base_files)
+            if base_files
+            else self.spark.createDataFrame([], schema)
+        )
+        if not delta_files:
+            return base
+        key_cols = list(snap.get("key_columns") or [snap["bucket_column"]])
+        others = [f.name for f in schema.fields if f.name not in key_cols]
+        dschema = T.StructType(
+            schema.fields
+            + [T.StructField("__deleted", T.BooleanType(), True),
+               T.StructField("__dv", T.LongType(), True)]
+        )
+        d = self.spark.read.schema(dschema).parquet(*delta_files)
+        # one folded row per key per delta commit -> latest commit wins;
+        # map-side combinable, proportional to live delta rows only
+        latest = d.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*others, "__deleted"), F.col("__dv")).alias("__s")
+        )
+        live = latest.filter(~F.col("__s.__deleted")).select(
+            *[F.col(c) for c in key_cols],
+            *[F.col(f"__s.{n}").alias(n) for n in others],
+        ).select(*[f.name for f in schema.fields])
+        base_kept = base.join(latest.select(*key_cols), key_cols, "left_anti")
+        return base_kept.unionByName(live)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read current table state; optionally only the given buckets
+        (partition pruning — only those buckets' files are listed)."""
+        return self._read_state(self.snapshot(), buckets)
 
     def touched_buckets(self) -> list[int]:
-        return sorted(int(b) for b in self.snapshot()["files"].keys())
+        snap = self.snapshot()
+        return sorted(
+            {int(b) for b in snap["files"].keys()}
+            | {int(b) for b in snap.get("deltas", {}).keys()}
+        )
 
     # ---------------------------------------------------------- write path
 
-    def write_data_files(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
+    def write_data_files(
+        self, df: DataFrame, version_hint: int, prefix: str = "c"
+    ) -> dict[str, list[str]]:
         """Write ``df`` (must contain the table columns) into per-bucket
         parquet files under a fresh commit directory; returns the
         bucket -> relative-file-list mapping (not yet committed).
@@ -265,9 +331,8 @@ class LakeTable:
         The write shuffles by the bucket transform so each output task owns
         one bucket (clustered files = prunable merges at scale).
         """
-        commit_dir = f"data/c{version_hint}-{uuid.uuid4().hex[:8]}"
+        commit_dir = f"data/{prefix}{version_hint}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, commit_dir)
-        cols = self.column_names()
         (
             df.withColumn("__bucket", self.bucket_expr())
             .repartition(F.col("__bucket"))
@@ -283,8 +348,18 @@ class LakeTable:
             for fn in os.listdir(os.path.join(out, ent)):
                 if fn.endswith(".parquet"):
                     files.setdefault(b, []).append(f"{commit_dir}/{ent}/{fn}")
-        _ = cols
         return files
+
+    def write_delta_files(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
+        """Write a merge-on-read delta log: ``df`` carries the table columns
+        plus ``__deleted`` tombstone flags (one folded row per touched key);
+        the commit version is baked in as ``__dv`` so all delta files of a
+        bucket are read in ONE parquet scan and folded by ``max_by(__dv)``."""
+        return self.write_data_files(
+            df.withColumn("__dv", F.lit(int(version_hint)).cast("long")),
+            version_hint,
+            prefix="d",
+        )
 
     def commit_replace_buckets(
         self,
@@ -294,10 +369,15 @@ class LakeTable:
         properties: dict | None = None,
         expected_version: int | None = None,
         truncate_all: bool = False,
+        clear_deltas: bool = True,
     ) -> dict:
         """Atomic commit: swap the file lists of ``replaced_buckets`` for
         ``new_files`` (other buckets unchanged), merging ``summary`` into the
         snapshot and ``properties`` into cumulative table properties.
+
+        Replacing a bucket's base supersedes its delta log, so the bucket's
+        deltas are cleared too (``clear_deltas=False`` opts out — used by
+        ``append``, which only adds base files).
 
         This is the single transaction that carries both the data mutation and
         the offset marker — the engine's exactly-once primitive (reference
@@ -309,8 +389,13 @@ class LakeTable:
                 f"expected v{expected_version}, table at v{cur['version']}"
             )
         files = {} if truncate_all else dict(cur["files"])
+        deltas = {} if truncate_all else {
+            b: list(fl) for b, fl in cur.get("deltas", {}).items()
+        }
         for b in map(str, replaced_buckets):
             files.pop(b, None)
+            if clear_deltas:
+                deltas.pop(b, None)
         for b, fl in new_files.items():
             if fl:
                 files[str(b)] = fl
@@ -322,7 +407,48 @@ class LakeTable:
             "schema": cur["schema"],
             "bucket_column": cur["bucket_column"],
             "bucket_count": cur["bucket_count"],
+            "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": files,
+            "deltas": deltas,
+            "summary": dict(summary or {}),
+            "properties": props,
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        self._write_snapshot(snap)
+        return snap
+
+    def commit_append_deltas(
+        self,
+        new_deltas: dict[str, list[str]],
+        summary: dict | None = None,
+        properties: dict | None = None,
+        expected_version: int | None = None,
+    ) -> dict:
+        """Atomic merge-on-read commit: append delta files to their buckets'
+        logs; base files untouched.  Bytes written are proportional to the
+        batch, never to the table — the 10^10-event write-amplification fix
+        (the reference sinks likewise apply only the batch's rows,
+        SqliteConnectionExtensions.cs:218-248)."""
+        cur = self.snapshot()
+        if expected_version is not None and cur["version"] != expected_version:
+            raise CommitConflict(
+                f"expected v{expected_version}, table at v{cur['version']}"
+            )
+        deltas = {b: list(fl) for b, fl in cur.get("deltas", {}).items()}
+        for b, fl in new_deltas.items():
+            if fl:
+                deltas.setdefault(str(b), []).extend(fl)
+        props = dict(cur["properties"])
+        props.update(properties or {})
+        snap = {
+            "version": cur["version"] + 1,
+            "parent": cur["version"],
+            "schema": cur["schema"],
+            "bucket_column": cur["bucket_column"],
+            "bucket_count": cur["bucket_count"],
+            "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
+            "files": dict(cur["files"]),
+            "deltas": deltas,
             "summary": dict(summary or {}),
             "properties": props,
             "timestamp_ms": int(time.time() * 1000),
@@ -347,22 +473,9 @@ class LakeTable:
     # ---------------------------------------------------------- maintenance
 
     def read_at(self, version: int, buckets: list[int] | None = None) -> DataFrame:
-        """Time travel: read the table as of snapshot ``version``."""
-        snap = self.snapshot(version)
-        schema = T.StructType(
-            [T.StructField(c["name"], _parse_type(c["type"]), True)
-             for c in snap["schema"]]
-        )
-        sel = set(map(str, buckets)) if buckets is not None else None
-        files = [
-            os.path.join(self.root, f)
-            for b, fl in snap["files"].items()
-            if sel is None or b in sel
-            for f in fl
-        ]
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        """Time travel: read the table as of snapshot ``version`` (deltas of
+        that snapshot folded in)."""
+        return self._read_state(self.snapshot(version), buckets)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete data files referenced only by expired snapshots (the
@@ -373,7 +486,10 @@ class LakeTable:
         cur = self.current_version()
         live: set[str] = set()
         for v in range(max(1, cur - keep_last + 1), cur + 1):
-            for fl in self.snapshot(v)["files"].values():
+            s = self.snapshot(v)
+            for fl in s["files"].values():
+                live.update(fl)
+            for fl in s.get("deltas", {}).values():
                 live.update(fl)
         deleted = 0
         data_root = os.path.join(self.root, "data")
@@ -389,11 +505,19 @@ class LakeTable:
     def compact_buckets(
         self, max_files_per_bucket: int = 4, summary: dict | None = None
     ) -> dict | None:
-        """Rewrite buckets whose file count exceeds the threshold into one
-        file each (small-file compaction after many incremental commits —
-        Iceberg rewrite_data_files analogue).  One atomic commit."""
+        """Rewrite buckets whose file count (base + delta-log) exceeds the
+        threshold into one base file each, folding any merge-on-read deltas
+        back into the base (small-file compaction + Iceberg
+        rewrite_data_files/rewrite_position_delete analogue).  One atomic
+        commit; the replaced buckets' delta logs are cleared."""
         snap = self.snapshot()
-        todo = [int(b) for b, fl in snap["files"].items() if len(fl) > max_files_per_bucket]
+        deltas = snap.get("deltas", {})
+        todo = sorted(
+            int(b)
+            for b in set(snap["files"]) | set(deltas)
+            if len(snap["files"].get(b, [])) + len(deltas.get(b, []))
+            > max_files_per_bucket
+        )
         if not todo:
             return None
         df = self.read(todo).coalesce(max(len(todo) // 4, 1))
@@ -419,4 +543,5 @@ class LakeTable:
             merged, replaced_buckets=list(merged.keys()),
             summary={"operation": "append", **(summary or {})},
             properties=properties,
+            clear_deltas=False,  # append adds base files; delta logs still apply
         )

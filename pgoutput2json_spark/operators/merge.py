@@ -41,13 +41,14 @@ def merge_groups(
     truncate epoch).  Returns the replacement rows (table columns only).
     """
     fields = [(c["name"], c["type"]) for c in table.schema_fields()]
-    key = table.bucket_column
+    key_cols = table.key_columns
+    t_key = table.key_expr("t.")
 
     t = target.alias("t")
     u = grouped.alias("u")
-    joined = t.join(u, F.col(f"t.{key}") == F.col("u.doc_id"), "full_outer")
+    joined = t.join(u, t_key == F.col("u.doc_id"), "full_outer")
 
-    t_exists = F.col(f"t.{key}").isNotNull()
+    t_exists = F.col(f"t.{key_cols[0]}").isNotNull()
     init = F.struct(
         t_exists.alias("exists"),
         *[F.col(f"t.{n}").cast(ty).alias(n) for n, ty in fields],
@@ -57,7 +58,7 @@ def merge_groups(
     )
 
     staged = joined.select(
-        F.coalesce(F.col("u.doc_id"), F.col(f"t.{key}")).alias("__key"),
+        F.coalesce(F.col("u.doc_id"), t_key).alias("__key"),
         t_exists.alias("__had"),
         final.alias("__st"),
     )
@@ -69,10 +70,75 @@ def merge_groups(
             F.sum((F.col("__had") & F.col("__st.exists")).cast("long")).alias("rows_kept_or_updated"),
             F.sum((F.col("__had") & ~F.col("__st.exists")).cast("long")).alias("rows_deleted"),
         )
+    # every column (keys included) comes from the folded state: key columns
+    # are part of every I/U row image, and target-only rows keep t's values
+    out_cols = [F.col(f"__st.{n}").alias(n) for n, _ty in fields]
+    return staged.filter(F.col("__st.exists")).select(*out_cols)
+
+
+def merge_deltas(
+    table: LakeTable,
+    grouped: DataFrame,
+    target: DataFrame,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Merge-on-read variant: produce ONE folded row per *touched key* (not
+    per bucket row) — the post-apply state of exactly the keys this batch
+    changed, with ``__deleted`` tombstones for keys that end absent.
+
+    Unlike :func:`merge_groups` (full-outer join, rewrites whole buckets),
+    this LEFT-joins the batch's keys against the pruned target: untouched
+    target rows are never rewritten, so bytes written per epoch scale with
+    the batch, not the table.  No-op keys (never existed, still absent —
+    e.g. a lone delete of a missing key) are dropped entirely.
+    """
+    fields = [(c["name"], c["type"]) for c in table.schema_fields()]
+    key_cols = table.key_columns
+    t_key = table.key_expr("t.")
+
+    u = grouped.alias("u")
+    t = target.alias("t")
+    joined = u.join(t, F.col("u.doc_id") == t_key, "left")
+
+    t_exists = F.col(f"t.{key_cols[0]}").isNotNull()
+    init = F.struct(
+        t_exists.alias("exists"),
+        *[F.col(f"t.{n}").cast(ty).alias(n) for n, ty in fields],
+    )
+    final = fold_final_state(F.col("u.evs"), init, fields)
+
+    staged = joined.select(
+        F.col("u.doc_id").alias("__key"),
+        t_exists.alias("__had"),
+        final.alias("__st"),
+    )
+    if observation is not None:
+        staged = staged.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum((~F.col("__had") & F.col("__st.exists")).cast("long")).alias("rows_inserted"),
+            F.sum((F.col("__had") & F.col("__st.exists")).cast("long")).alias("rows_kept_or_updated"),
+            F.sum((F.col("__had") & ~F.col("__st.exists")).cast("long")).alias("rows_deleted"),
+        )
+    # key columns come from the merge key (tombstones' folded state is all
+    # NULL, but the delta row must carry the key for the read-time fold);
+    # composite keys are split back out of the KEY_SEP join
+    from pgoutput2json_spark.schema import KEY_SEP
+
+    key_parts = (
+        {key_cols[0]: F.col("__key")}
+        if len(key_cols) == 1
+        else {
+            c: F.element_at(F.split("__key", KEY_SEP, -1), i + 1)
+            for i, c in enumerate(key_cols)
+        }
+    )
     out_cols = []
     for n, ty in fields:
-        if n == key:
-            out_cols.append(F.col("__key").alias(n))
+        if n in key_parts:
+            out_cols.append(key_parts[n].cast(ty).alias(n))
         else:
             out_cols.append(F.col(f"__st.{n}").alias(n))
-    return staged.filter(F.col("__st.exists")).select(*out_cols)
+    return staged.filter(F.col("__st.exists") | F.col("__had")).select(
+        *out_cols, (~F.col("__st.exists")).alias("__deleted")
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from pgoutput2json_spark.schema import RelationSchema, TOAST_SENTINEL
+from pgoutput2json_spark.schema import KEY_SEP, RelationSchema, TOAST_SENTINEL
 
 
 _NUM_ARRAY = {"array<int>", "array<bigint>", "array<smallint>", "array<float>", "array<double>"}
@@ -57,6 +57,34 @@ def _is_toast(raw: Column) -> Column:
     return raw.isin(TOAST_SENTINEL, f'"{TOAST_SENTINEL}"')
 
 
+def composite_key(parts: list[Column]) -> Column:
+    """Join raw key slot texts into the merge key.  Single-column keys pass
+    through; composite keys use the KEY_SEP join (null in any part — i.e. a
+    missing key tuple — nulls the whole key, unlike concat_ws)."""
+    if len(parts) == 1:
+        return parts[0]
+    joined: list[Column] = []
+    for i, p in enumerate(parts):
+        if i:
+            joined.append(F.lit(KEY_SEP))
+        joined.append(p)
+    return F.concat(*joined)
+
+
+def _per_version(versions: list[tuple[int, RelationSchema]], build):
+    """CASE over relation-version LSN ranges: build(rel) -> Column."""
+    w = F.col("w")
+    expr = None
+    for i, (from_lsn, rel) in enumerate(versions):
+        upper = versions[i + 1][0] if i + 1 < len(versions) else None
+        cond = w >= F.lit(from_lsn)
+        if upper is not None:
+            cond = cond & (w < F.lit(upper))
+        col = build(rel)
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    return expr
+
+
 def parse_events(
     events: DataFrame,
     versions: list[tuple[int, RelationSchema]],
@@ -73,35 +101,23 @@ def parse_events(
     assert versions and versions[0][0] <= 0
     from pgoutput2json_spark.lake.table import _parse_type
 
-    w = F.col("w")
-
-    def per_version(build):
-        """CASE over version ranges: build(rel) -> Column for that layout."""
-        expr = None
-        for i, (from_lsn, rel) in enumerate(versions):
-            upper = versions[i + 1][0] if i + 1 < len(versions) else None
-            cond = w >= F.lit(from_lsn)
-            if upper is not None:
-                cond = cond & (w < F.lit(upper))
-            col = build(rel)
-            expr = F.when(cond, col) if expr is None else expr.when(cond, col)
-        return expr
-
     def key_from(arr_col: str):
         def build(rel: RelationSchema):
-            idx = rel.key_index()
-            return F.element_at(F.col(arr_col), idx + 1)
+            parts = [
+                F.element_at(F.col(arr_col), i + 1) for i in rel.key_indices()
+            ]
+            return composite_key(parts)
 
-        return per_version(build)
+        return _per_version(versions, build)
 
     out_cols = [
         F.col("c").alias("op"),
-        w.alias("lsn"),
+        F.col("w").alias("lsn"),
         F.when(F.col("k").isNotNull(), key_from("k")).alias("old_key"),
         F.when(F.col("r").isNotNull(), key_from("r")).alias("new_key"),
     ]
 
-    key_names = {rel.key_columns[0] for _, rel in versions}
+    key_names = {n for _, rel in versions for n in rel.key_columns}
     for fdict in target_fields:
         name, dtype = fdict["name"], _parse_type(fdict["type"])
         excluded = (
@@ -122,7 +138,69 @@ def parse_events(
                 F.when(is_set, _parse_slot(raw, dtype)).alias("val"),
             )
 
-        out_cols.append(per_version(build_val).alias(f"f_{name}"))
+        out_cols.append(_per_version(versions, build_val).alias(f"f_{name}"))
+
+    return events.select(*out_cols)
+
+
+def parse_default_events(
+    events: DataFrame,
+    versions: list[tuple[int, RelationSchema]],
+    target_fields: list[dict],
+    included: tuple | None = None,
+) -> DataFrame:
+    """Parse DEFAULT-JsonWriteMode events (``k``/``r`` as {"col": value}
+    objects, JsonWriter.cs:208-230) into the same typed (set, val) contract
+    as :func:`parse_events`, so explode/fold/merge are shared.
+
+    Column names are self-describing in object form, so only the *key
+    column set* is relation-version-dependent.  A column absent from ``r``
+    is NOT SET (the reference omits nulls unless WriteNulls — an absent
+    slot is indistinguishable from untouched, so we apply the conservative
+    skip-on-update/null-on-insert rule; with WriteNulls=true explicit nulls
+    round-trip exactly).  ``"__TOAST__"`` values are NOT SET (skip-on-apply).
+    """
+    assert versions and versions[0][0] <= 0
+    from pgoutput2json_spark.lake.table import _parse_type
+
+    def key_from(map_col: str):
+        def build(rel: RelationSchema):
+            parts = [
+                F.element_at(F.col(map_col), F.lit(rel.columns[i].name))
+                for i in rel.key_indices()
+            ]
+            return composite_key(parts)
+
+        return _per_version(versions, build)
+
+    out_cols = [
+        F.col("c").alias("op"),
+        F.col("w").alias("lsn"),
+        F.when(F.col("k").isNotNull(), key_from("k")).alias("old_key"),
+        F.when(F.col("r").isNotNull(), key_from("r")).alias("new_key"),
+    ]
+
+    key_names = {n for _, rel in versions for n in rel.key_columns}
+    for fdict in target_fields:
+        name, dtype = fdict["name"], _parse_type(fdict["type"])
+        excluded = (
+            included is not None and name not in included and name not in key_names
+        )
+        if excluded:
+            col = F.struct(
+                F.lit(False).alias("set"), F.lit(None).cast(dtype).alias("val")
+            )
+        else:
+            raw = F.element_at(F.col("r"), F.lit(name))
+            present = F.col("r").isNotNull() & F.map_contains_key(
+                F.col("r"), F.lit(name)
+            )
+            is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
+            col = F.struct(
+                is_set.alias("set"),
+                F.when(is_set, _parse_slot(raw, dtype)).alias("val"),
+            )
+        out_cols.append(col.alias(f"f_{name}"))
 
     return events.select(*out_cols)
 

@@ -1,0 +1,47 @@
+"""Publication row filter (P2) — per-table WHERE predicate over row images.
+
+The reference applies `pg_publication_tables.rowfilter` WHERE clauses when
+exporting snapshots (DataExporter.cs:118-131,505-539); on the stream,
+pgoutput evaluates the filter server-side against the row images.  Here the
+predicate (any Spark SQL boolean expression over the table's column names)
+is applied to each event's NEW row image after parsing:
+
+- ``I``: kept only if the image satisfies the filter;
+- ``U``: an update whose new image FAILS the filter becomes a ``D`` of its
+  key (the row left the publication — pgoutput's update->delete
+  translation); a passing update stays (and update-else-insert brings rows
+  *into* the filter);
+- ``D`` / ``T``: always pass (deleting a row that was never inserted is a
+  no-op in the fold).
+
+NULL predicate results count as not-matching (SQL WHERE semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def apply_row_filter(
+    parsed: DataFrame, field_names: list[str], predicate: str
+) -> DataFrame:
+    """Filter parsed events (columns ``op/lsn/old_key/new_key/f_<col>``) by a
+    SQL predicate over the plain column names (evaluated on ``f_<col>.val``).
+    One JVM pass; the predicate participates in whole-stage codegen."""
+    cols = parsed.columns
+    tmp = parsed.select(
+        F.struct(*cols).alias("__e"),
+        *[F.col(f"f_{n}.val").alias(n) for n in field_names],
+    )
+    keep = F.coalesce(F.expr(predicate), F.lit(False))
+    op = F.col("__e.op")
+    flt = tmp.withColumn("__keep", keep).filter(
+        op.isin("D", "T") | (op == "U") | F.col("__keep")
+    )
+    out = flt.select("__e.*", "__keep")
+    return out.withColumn(
+        "op",
+        F.when((F.col("op") == "U") & ~F.col("__keep"), F.lit("D")).otherwise(
+            F.col("op")
+        ),
+    ).drop("__keep")

@@ -121,15 +121,17 @@ def topk_gemm(
 # ----------------------------------------------------------------- LSH (SRP)
 
 
-def srp_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+def srp_bucket(vec: Column, dim: int, planes: int = 8, seed_offset: int = 0) -> Column:
     """Sign-random-projection bucket id: bit j = sign(dot(vec, h_j)) with
     deterministic pseudo-random hyperplane h_j[d] derived from md5(j, d)
-    (uniform in [-1000, 1000]) — identical in any engine, no RNG state."""
+    (uniform in [-1000, 1000]) — identical in any engine, no RNG state.
+    ``seed_offset`` shifts the plane seeds so LSH bands draw independent
+    hyperplane sets."""
     bucket = F.lit(0).cast("long")
     for j in range(planes):
         comps = F.array(
             *[
-                ((md5_long(F.lit(f"srp:{j}:{d}")) % 2001) - 1000).cast("double")
+                ((md5_long(F.lit(f"srp:{j + seed_offset}:{d}")) % 2001) - 1000).cast("double")
                 for d in range(dim)
             ]
         )
@@ -176,23 +178,63 @@ def cosine_neardup_pairs(
     dim: int,
     threshold: float = 0.95,
     planes: int = 8,
+    bands: int = 1,
+    max_bucket: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), candidates from
-    shared SRP buckets (high-cosine pairs collide with high probability)."""
-    v = vectors.withColumn("bucket", srp_bucket(F.col(vec_col), dim, planes))
-    a, b = v.alias("a"), v.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    shared SRP buckets (high-cosine pairs collide with high probability).
+
+    Scale controls:
+
+    - ``bands``: B independent plane sets (band b uses hyperplanes seeded
+      ``srp:{b*planes+j}:{d}``); candidates = union over bands.  Recall for
+      a pair at angle θ is 1-(1-(1-θ/π)^P)^B — multiple narrower bands beat
+      one wide band on recall at equal join cost.
+    - ``max_bucket``: drop (band, bucket) groups holding more than this many
+      vectors before the self-join — a skewed bucket of n vectors costs
+      n(n-1)/2 join rows, the 100 TB failure mode.  Hot-bucket members
+      usually collide in another band, so recall loss is bounded.
+    """
+    bands_df = None
+    for b in range(bands):
+        vb = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(b).alias("band"),
+            srp_bucket(F.col(vec_col), dim, planes, seed_offset=b * planes).alias("bucket"),
+        )
+        bands_df = vb if bands_df is None else bands_df.unionByName(vb)
+    if max_bucket is not None:
+        hot = (
+            bands_df.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bucket")
+        )
+        bands_df = bands_df.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b_ = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # union of bands
     )
     return (
         cand.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")

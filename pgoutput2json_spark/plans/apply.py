@@ -28,10 +28,15 @@ def apply_change_events(
     fields: list[tuple[str, str]],
     key: str,
     target: DataFrame | None = None,
+    state_key: bool = False,
 ) -> DataFrame:
     """Serial-apply-equivalent fold of ``events`` over ``target`` (empty if
     None).  Events must already carry resolved keys in column ``doc_id``
-    (run operators/explode.py first if key-updates are possible)."""
+    (run operators/explode.py first if key-updates are possible).
+
+    ``state_key=True`` emits the key column from the folded state instead of
+    the merge key — required when the merge key is a COMPOSITE (KEY_SEP
+    join) that doesn't equal any single column's value."""
     field_names = [n for n, _ in fields]
     flat = snapshot_cut(events, field_names, n_events_hint=0)
     grouped = group_events(flat, field_names)
@@ -57,7 +62,9 @@ def apply_change_events(
     ).filter(F.col("__st.exists"))
     return staged.select(
         *[
-            F.col("__key").alias(n) if n == key else F.col(f"__st.{n}").alias(n)
+            F.col("__key").alias(n)
+            if n == key and not state_key
+            else F.col(f"__st.{n}").alias(n)
             for n, _ in fields
         ]
     )

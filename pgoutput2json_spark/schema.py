@@ -37,6 +37,13 @@ from pyspark.sql import types as T
 
 TOAST_SENTINEL = "__TOAST__"
 
+#: Separator for composite primary keys: the merge key is the \x1f-joined
+#: raw key slot texts (reference multi-column WHERE precedent,
+#: SqliteConnectionExtensions.cs:316-344).  \x1f (ASCII unit separator)
+#: cannot appear in JSON-escaped slot text unescaped, so the join is
+#: collision-free for text/number key columns.
+KEY_SEP = "\x1f"
+
 #: Fixed envelope schema for event files (JSON lines or parquet).
 EVENT_SCHEMA = T.StructType(
     [
@@ -48,6 +55,24 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("r", T.ArrayType(T.StringType())),  # new row slots
         T.StructField("cts", T.LongType()),       # commit timestamp (optional)
         T.StructField("mts", T.LongType()),       # message timestamp (optional)
+    ]
+)
+
+#: Envelope for the reference's DEFAULT JsonWriteMode (JsonOptions.cs:46,
+#: JsonWriter.cs:208-230): ``k``/``r`` are {"col": value} objects (nulls
+#: omitted unless WriteNulls), the relation message is an object under
+#: ``schema`` (JsonWriter.cs:415-462).  Map values are read as raw JSON
+#: text, exactly like the compact arrays' slots.
+DEFAULT_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("c", T.StringType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("t", T.StringType()),
+        T.StructField("schema", T.StringType()),  # relation (raw JSON object)
+        T.StructField("k", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("r", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("cts", T.LongType()),
+        T.StructField("mts", T.LongType()),
     ]
 )
 
@@ -89,12 +114,23 @@ _OID_SPARK: dict[int, T.DataType] = {
 }
 
 
-def oid_to_spark_type(oid: int) -> T.DataType:
-    """Map a pg_type OID to the Spark type used in the lake table.
+def oid_to_spark_type(oid: int, typmod: int = -1) -> T.DataType:
+    """Map a pg_type OID (+ typmod) to the Spark type used in the lake table.
+
+    NUMERIC(p,s) carries precision/scale packed into the typmod's high/low
+    16 bits (offset by the 4-byte varlena header) — the reference unpacks it
+    the same way (SqliteConnectionExtensions.cs:544-553) — and maps to an
+    exact ``DecimalType(p,s)`` instead of lossy double.  Unconstrained
+    NUMERIC (typmod -1) stays double (NaN/Inf -> 0, JsonUtils.cs:24-55).
 
     Unknown OIDs fall back to StringType, mirroring the reference's
     default-TEXT narrowing (SqliteConnectionExtensions.cs:528-530).
     """
+    if oid == 1700 and typmod is not None and typmod >= 4:
+        precision = ((typmod - 4) >> 16) & 0xFFFF
+        scale = (typmod - 4) & 0xFFFF
+        if 1 <= precision <= 38 and 0 <= scale <= precision:
+            return T.DecimalType(precision, scale)
     return _OID_SPARK.get(oid, T.StringType())
 
 
@@ -110,6 +146,10 @@ _WIDEN_OK: set[tuple[str, str]] = {
 
 
 def can_widen(frm: T.DataType, to: T.DataType) -> bool:
+    # NUMERIC(p,s) -> NUMERIC(p',s) with p' >= p is an Iceberg-legal widen
+    # (same scale, more precision); scale changes rewrite values -> illegal
+    if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+        return to.scale == frm.scale and to.precision >= frm.precision
     return (frm.simpleString(), to.simpleString()) in _WIDEN_OK
 
 
@@ -127,7 +167,7 @@ class ColumnSpec:
 
     @property
     def spark_type(self) -> T.DataType:
-        return oid_to_spark_type(self.oid)
+        return oid_to_spark_type(self.oid, self.typmod)
 
 
 @dataclass
@@ -139,12 +179,26 @@ class RelationSchema:
 
     @staticmethod
     def from_json(raw: str) -> "RelationSchema":
-        """Parse the compact ``s`` payload:
-        ``["schema.table", ["col", isKey, oid, typmod?], ...]``."""
-        arr = json.loads(raw)
-        table = arr[0]
+        """Parse a relation message — either the compact ``s`` payload
+        ``["schema.table", ["col", isKey, oid, typmod?], ...]`` or the
+        default-mode object form (JsonWriter.cs:415-462)
+        ``{"tableName": ..., "columns": [{"name","isKey","dataType",
+        "typeModifier"?}, ...]}`` (sniffed by the leading brace)."""
+        parsed = json.loads(raw)
+        if isinstance(parsed, dict):
+            cols = [
+                ColumnSpec(
+                    c["name"],
+                    bool(c.get("isKey")),
+                    int(c.get("dataType", 25)),
+                    int(c.get("typeModifier", -1)),
+                )
+                for c in parsed.get("columns", [])
+            ]
+            return RelationSchema(parsed["tableName"], cols)
+        table = parsed[0]
         cols = []
-        for spec in arr[1:]:
+        for spec in parsed[1:]:
             name, is_key, oid = spec[0], bool(spec[1]), int(spec[2])
             typmod = int(spec[3]) if len(spec) > 3 else -1
             cols.append(ColumnSpec(name, is_key, oid, typmod))
@@ -160,13 +214,19 @@ class RelationSchema:
     def key_columns(self) -> list[str]:
         return [c.name for c in self.columns if c.is_key]
 
-    def key_index(self) -> int:
-        """Positional index of the (single) key column.
-
-        The engine, like the reference's store sinks, requires a primary key;
-        composite keys are concatenated upstream into one ``doc_id``.
-        """
+    def key_indices(self) -> list[int]:
+        """Positional indices of the key columns (>= 1 required, like the
+        reference's store sinks; composite keys are joined with KEY_SEP into
+        the merge key — SqliteConnectionExtensions.cs:316-344 builds the
+        equivalent multi-column WHERE)."""
         idx = [i for i, c in enumerate(self.columns) if c.is_key]
+        if not idx:
+            raise ValueError(f"at least one key column required in {self.table}")
+        return idx
+
+    def key_index(self) -> int:
+        """Positional index of the single key column (legacy accessor)."""
+        idx = self.key_indices()
         if len(idx) != 1:
             raise ValueError(f"exactly one key column required, got {idx}")
         return idx[0]

@@ -11,13 +11,30 @@ ReplicationListener.cs:134-148), and ``maxFilesPerTrigger`` plays BatchSize
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pgoutput2json_spark.schema import EVENT_SCHEMA
+from pgoutput2json_spark.schema import DEFAULT_EVENT_SCHEMA, EVENT_SCHEMA
 
 
-def read_events(spark: SparkSession, path: str, fmt: str = "jsonl") -> DataFrame:
+def _normalize_default(df: DataFrame) -> DataFrame:
+    """Unify the default-mode envelope with the compact one: the relation
+    message travels under ``schema`` on the wire (JsonWriter.cs:417) but the
+    engine addresses it as ``s``; k/r stay maps (object payloads)."""
+    return df.select(
+        "c", "w", "t", F.col("schema").alias("s"), "k", "r", "cts", "mts"
+    )
+
+
+def read_events(
+    spark: SparkSession, path: str, fmt: str = "jsonl", json_mode: str = "compact"
+) -> DataFrame:
     """Batch read of event files with the fixed envelope schema."""
+    if json_mode == "default":
+        if fmt != "jsonl":
+            raise ValueError("default json_mode is a wire (jsonl) format")
+        return _normalize_default(
+            spark.read.schema(DEFAULT_EVENT_SCHEMA).json(path)
+        )
     if fmt == "jsonl":
         return spark.read.schema(EVENT_SCHEMA).json(path)
     if fmt == "parquet":
@@ -30,11 +47,17 @@ def read_events_stream(
     path: str,
     fmt: str = "jsonl",
     max_files_per_trigger: int | None = None,
+    json_mode: str = "compact",
 ) -> DataFrame:
     """Streaming read (file source tailing the event directory)."""
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    schema = DEFAULT_EVENT_SCHEMA if json_mode == "default" else EVENT_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if json_mode == "default":
+        if fmt != "jsonl":
+            raise ValueError("default json_mode is a wire (jsonl) format")
+        return _normalize_default(reader.json(path))
     if fmt == "jsonl":
         return reader.json(path)
     if fmt == "parquet":

@@ -16,7 +16,9 @@ the reference's listener loop (ReplicationListener.cs:234-321):
    ReplicationListener.cs:278-288).
 5. **Truncate epoch split** (A5): clear + residual apply in one commit.
 6. **Key-update explode** (A2), **snapshot-cut pre-reduce + fold** (D3,
-   skew-safe), **bucket-pruned MERGE** (A1).
+   skew-safe), **bucket-pruned MERGE** (A1) — copy-on-write (rewrite touched
+   buckets) or merge-on-read (append per-key folded deltas + tombstones;
+   bytes written per epoch proportional to the batch, not the table).
 7. **Atomic commit** carrying data, the ``(epoch, max_lsn)`` marker, and the
    per-bucket lineage file path (M1) in one snapshot — exactly-once.
 """
@@ -34,9 +36,10 @@ from pgoutput2json_spark.lake.table import LakeTable
 from pgoutput2json_spark.operators.dedup import salted_lww_reduce
 from pgoutput2json_spark.operators.explode import explode_key_updates
 from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
-from pgoutput2json_spark.operators.merge import merge_groups, touched_buckets
-from pgoutput2json_spark.operators.parse import parse_events
-from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema, oid_to_spark_type
+from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups, touched_buckets
+from pgoutput2json_spark.operators.parse import parse_default_events, parse_events
+from pgoutput2json_spark.operators.rowfilter import apply_row_filter
+from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema
 from pgoutput2json_spark.sources.events import read_events, read_events_stream
 
 
@@ -46,6 +49,10 @@ class EngineOptions:
     events_dir: str
     checkpoint_dir: str
     event_format: str = "jsonl"          # jsonl | parquet
+    #: 'compact' = positional arrays (reference JsonWriteMode.Compact);
+    #: 'default' = {"col": value} objects — the reference's DEFAULT output
+    #: (JsonOptions.cs:46, JsonWriter.cs:208-230); jsonl only
+    json_mode: str = "compact"
     bucket_count: int = 16
     max_files_per_trigger: int | None = None
     table_filter: str | None = None      # only apply events of this table
@@ -54,9 +61,21 @@ class EngineOptions:
     #: 'lww'   = salted two-phase last-writer-wins max_by (operators/dedup.py)
     #:           — faster, correct for full-row upsert streams
     apply_mode: str = "exact"
+    #: 'cow' = copy-on-write: rewrite touched buckets per epoch (fewest files,
+    #:         read-optimal);
+    #: 'mor' = merge-on-read: append per-key folded delta files + tombstones
+    #:         (commit_append_deltas) — bytes written per epoch proportional
+    #:         to the BATCH, not the table; the 10^10-event default.  Delta
+    #:         logs are folded on read and compacted by auto-maintenance.
+    merge_mode: str = "cow"
     #: P1 column allow-list (reference IncludedColumns, JsonWriter.cs:185-188):
     #: excluded columns are never set by events (inserts leave them null)
     included_columns: tuple | None = None
+    #: P2 publication row filter (pg_publication_tables.rowfilter precedent,
+    #: DataExporter.cs:118-131,505-539): SQL predicate over column names,
+    #: applied to new row images (updates leaving the filter become deletes)
+    #: and to bootstrap snapshots
+    row_filter: str | None = None
     #: K1 app-callback: called with the commit summary after each batch
     post_commit_hook: object | None = None
     #: auto-maintenance: every N apply epochs, compact buckets whose file
@@ -76,6 +95,12 @@ class EngineOptions:
             raise ValueError(f"event_format must be jsonl|parquet, got {self.event_format!r}")
         if self.apply_mode not in ("exact", "lww"):
             raise ValueError(f"apply_mode must be exact|lww, got {self.apply_mode!r}")
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
+        if self.json_mode not in ("compact", "default"):
+            raise ValueError(f"json_mode must be compact|default, got {self.json_mode!r}")
+        if self.json_mode == "default" and self.event_format != "jsonl":
+            raise ValueError("json_mode='default' is a wire format: requires jsonl")
         if int(self.bucket_count) <= 0:
             raise ValueError("bucket_count must be positive")
         if self.max_files_per_trigger is not None and int(self.max_files_per_trigger) <= 0:
@@ -86,7 +111,7 @@ class EngineOptions:
 
 def _relation_fields(rel: RelationSchema) -> list[dict]:
     return [
-        {"name": c.name, "type": oid_to_spark_type(c.oid).simpleString(), "oid": c.oid}
+        {"name": c.name, "type": c.spark_type.simpleString(), "oid": c.oid}
         for c in rel.columns
     ]
 
@@ -108,6 +133,7 @@ class CdcEngine:
             self.opts.table_root,
             schema=_relation_fields(rel),
             bucket_column=rel.key_columns[0],
+            key_columns=rel.key_columns,
             bucket_count=self.opts.bucket_count,
             properties={"cdc.relation": rel.to_json()},
         )
@@ -135,6 +161,8 @@ class CdcEngine:
         """S3 initial snapshot: one-time batch append before streaming starts
         (reference DataExporter.cs:104-272; snapshot rows carry w=0 so they
         never win dedup against stream events)."""
+        if self.opts.row_filter:
+            df = df.filter(F.expr(self.opts.row_filter))
         self.table.append(
             df.select(*self.table.column_names()),
             summary={"operation": "bootstrap"},
@@ -193,9 +221,14 @@ class CdcEngine:
             fields = table.schema_fields()
             field_names = [f["name"] for f in fields]
 
-            parsed = parse_events(
+            parse_fn = (
+                parse_default_events if opts.json_mode == "default" else parse_events
+            )
+            parsed = parse_fn(
                 events, versions, fields, included=opts.included_columns
             )
+            if opts.row_filter:
+                parsed = apply_row_filter(parsed, field_names, opts.row_filter)
 
             # D2 — committed-LSN dedup (skip replayed events)
             parsed = parsed.filter(F.col("lsn") > F.lit(committed))
@@ -225,11 +258,16 @@ class CdcEngine:
                 else table.read(buckets)
             )
 
+            # A truncate epoch rewrites the table anyway -> CoW path for it
+            use_mor = opts.merge_mode == "mor" and not truncating
             obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
-            result = merge_groups(table, grouped, target, obs)
-
             expected_version = table.current_version()
-            new_files = table.write_data_files(result, expected_version + 1)
+            if use_mor:
+                result = merge_deltas(table, grouped, target, obs)
+                new_files = table.write_delta_files(result, expected_version + 1)
+            else:
+                result = merge_groups(table, grouped, target, obs)
+                new_files = table.write_data_files(result, expected_version + 1)
             merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
 
             lineage_path = None
@@ -241,6 +279,7 @@ class CdcEngine:
                 "operation": "cdc-apply",
                 "epoch": epoch_id,
                 "run-id": run_id,
+                "merge-mode": "mor" if use_mor else "cow",
                 "n-events": n_events,
                 "max-lsn": batch_max_lsn,
                 "truncate-lsn": truncate_lsn,
@@ -249,19 +288,28 @@ class CdcEngine:
                 **{f"merge.{k}": v for k, v in merge_stats.items()},
             }
             new_max = max(batch_max_lsn, committed)
-            table.commit_replace_buckets(
-                new_files,
-                replaced_buckets=replaced,
-                summary=summary,
-                properties={
-                    "cdc.last-epoch": epoch_id,
-                    "cdc.max-lsn": new_max,
-                    "cdc.run-id": run_id,
-                    "cdc.relation": latest_rel.to_json(),
-                },
-                expected_version=expected_version,
-                truncate_all=truncating,
-            )
+            props = {
+                "cdc.last-epoch": epoch_id,
+                "cdc.max-lsn": new_max,
+                "cdc.run-id": run_id,
+                "cdc.relation": latest_rel.to_json(),
+            }
+            if use_mor:
+                table.commit_append_deltas(
+                    new_files,
+                    summary=summary,
+                    properties=props,
+                    expected_version=expected_version,
+                )
+            else:
+                table.commit_replace_buckets(
+                    new_files,
+                    replaced_buckets=replaced,
+                    summary=summary,
+                    properties=props,
+                    expected_version=expected_version,
+                    truncate_all=truncating,
+                )
             if (
                 opts.compact_every
                 and epoch_id >= 0
@@ -316,7 +364,8 @@ class CdcEngine:
     def replay_batch(self) -> dict:
         """One-shot batch replay of the whole events directory (bench &
         tests fast path; identical apply logic)."""
-        df = read_events(self.spark, self.opts.events_dir, self.opts.event_format)
+        df = read_events(self.spark, self.opts.events_dir,
+                         self.opts.event_format, self.opts.json_mode)
         return self.apply_batch(df, epoch_id=self.table.committed_epoch() + 1)
 
     def start_stream(self, available_now: bool = True, processing_time: str | None = None):
@@ -327,6 +376,7 @@ class CdcEngine:
             self.opts.events_dir,
             self.opts.event_format,
             self.opts.max_files_per_trigger,
+            self.opts.json_mode,
         )
         writer = stream.writeStream.foreachBatch(
             lambda df, eid: self.apply_batch(df, eid)

@@ -38,6 +38,12 @@ class MultiTableOptions:
     max_files_per_trigger: int | None = None
     emit_lineage: bool = True
     apply_mode: str = "exact"
+    merge_mode: str = "cow"
+    #: per-table applies are independent Spark jobs (disjoint LakeTables);
+    #: submit up to this many concurrently from the driver — Spark's
+    #: scheduler interleaves their stages, so a publication with many small
+    #: tables is not serialized on per-job latency
+    max_parallel_tables: int = 4
 
 
 class MultiTableCdcEngine:
@@ -62,6 +68,7 @@ class MultiTableCdcEngine:
                 root,
                 schema=_relation_fields(relation),
                 bucket_column=relation.key_columns[0],
+                key_columns=relation.key_columns,
                 bucket_count=self.opts.bucket_count,
                 properties={"cdc.relation": relation.to_json()},
             )
@@ -76,6 +83,7 @@ class MultiTableCdcEngine:
                 table_filter=table,
                 emit_lineage=self.opts.emit_lineage,
                 apply_mode=self.opts.apply_mode,
+                merge_mode=self.opts.merge_mode,
             ),
         )
         self._engines[table] = eng
@@ -92,6 +100,8 @@ class MultiTableCdcEngine:
     # ------------------------------------------------------------ apply
 
     def apply_batch(self, events: DataFrame, epoch_id: int) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
         events = events.persist()
         try:
             # tiny: one row per (table, has relation) in the batch
@@ -100,17 +110,33 @@ class MultiTableCdcEngine:
                 .agg(F.min_by("s", F.when(F.col("s").isNotNull(), F.col("w"))).alias("first_s"))
                 .collect()
             )
-            results = {}
+            results: dict = {}
+            todo: list[tuple[str, CdcEngine]] = []
+            # engine creation is serial (mutates the registry + table DDL);
+            # applies fan out below
             for row in heads:
                 table = row["t"]
                 rel = RelationSchema.from_json(row["first_s"]) if row["first_s"] else None
                 eng = self.engine_for(table, rel)
                 if eng is None:
                     results[table] = {"skipped": True, "reason": "no schema yet"}
-                    continue
-                results[table] = eng.apply_batch(
+                else:
+                    todo.append((table, eng))
+
+            def apply_one(item):
+                table, eng = item
+                # per-table tables are disjoint; Spark job submission is
+                # thread-safe, so stages of different tables overlap
+                return table, eng.apply_batch(
                     events.filter(F.col("t") == table), epoch_id
                 )
+
+            workers = max(1, int(self.opts.max_parallel_tables))
+            if len(todo) <= 1 or workers == 1:
+                results.update(dict(map(apply_one, todo)))
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    results.update(dict(pool.map(apply_one, todo)))
             return results
         finally:
             events.unpersist()

@@ -23,12 +23,23 @@ import json
 class Oracle:
     def __init__(self, columns=("doc_id", "tokens", "n_tok", "source"), key="doc_id"):
         self.columns = list(columns)
-        self.key = key
-        self.rows: dict[str, dict] = {}
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.key = self.keys[0]
+        self.rows: dict = {}
         self.last_lsn = -1
 
     def _key_idx(self):
         return self.columns.index(self.key)
+
+    def _key_of(self, slots):
+        """Merge key from a positional slot list (tuple for composite)."""
+        if slots is None:
+            return None
+        idx = [self.columns.index(k) for k in self.keys]
+        vals = [slots[i] if i < len(slots) else None for i in idx]
+        if any(v is None for v in vals):
+            return None
+        return vals[0] if len(vals) == 1 else tuple(vals)
 
     def _parse_slot(self, raw):
         if raw is None:
@@ -48,9 +59,8 @@ class Oracle:
             self.rows.clear()
             return
         k, r = ev.get("k"), ev.get("r")
-        ki = self._key_idx()
-        old_key = k[ki] if k else None
-        new_key = r[ki] if r else None
+        old_key = self._key_of(k)
+        new_key = self._key_of(r)
 
         if c == "D":
             key = old_key if old_key is not None else new_key

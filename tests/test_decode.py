@@ -89,3 +89,53 @@ def test_tokens_pandas_udfs(spark):
     ).collect()
     assert rows[0]["n"] == 3 and rows[0]["d"] is not None
     assert rows[1]["n"] is None and rows[1]["d"] is None
+
+
+def test_numeric_typmod_decimal_exact(spark):
+    """NUMERIC(10,2) typmod -> DecimalType(10,2): money-like values decode
+    exactly (no double rounding).  typmod packing = ((p<<16)|s)+4, reference
+    SqliteConnectionExtensions.cs:544-553."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F, types as T
+
+    from pgoutput2json_spark.schema import ColumnSpec, oid_to_spark_type, can_widen
+
+    typmod = ((10 << 16) | 2) + 4
+    t = oid_to_spark_type(1700, typmod)
+    assert t == T.DecimalType(10, 2)
+    assert oid_to_spark_type(1700) == T.DoubleType()  # unconstrained stays double
+    assert ColumnSpec("amount", False, 1700, typmod).spark_type == T.DecimalType(10, 2)
+
+    df = spark.createDataFrame([("12345678.91",), ("0.07",), (None,)], "raw string")
+    out = [r["v"] for r in df.select(F.col("raw").cast(t.simpleString()).alias("v")).collect()]
+    assert out == [Decimal("12345678.91"), Decimal("0.07"), None]
+    # 0.07 is NOT exactly representable in double — decimal keeps it exact
+    assert float(out[1]) != 0.07 or str(out[1]) == "0.07"
+
+    # widening: precision may grow at equal scale; scale change is illegal
+    assert can_widen(T.DecimalType(10, 2), T.DecimalType(18, 2))
+    assert not can_widen(T.DecimalType(10, 2), T.DecimalType(18, 4))
+
+
+def test_relation_message_carries_decimal_typmod(spark, tmpdir_path):
+    """End-to-end: relation message with numeric typmod evolves the table to
+    a decimal column and values round-trip exactly."""
+    import os
+    from decimal import Decimal
+
+    from pgoutput2json_spark import EVENT_SCHEMA
+    from tests.util import ev, make_engine, write_jsonl
+
+    typmod = ((10 << 16) | 2) + 4
+    rel = ["public.docs", ["doc_id", 1, 25], ["tokens", 0, 1007],
+           ["n_tok", 0, 23], ["source", 0, 25], ["amount", 0, 1700, typmod]]
+    eng = make_engine(spark, tmpdir_path)
+    batch = [ev("I", 1, ["a", [1], 1, "w", "10.07"], s=rel),
+             ev("I", 2, ["b", [2], 1, "w", "99999999.99"])]
+    write_jsonl(batch, eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(os.path.join(eng.opts.events_dir, "a.jsonl"))
+    eng.apply_batch(df, epoch_id=0)
+    assert dict(eng.table.spark_schema()["amount"].jsonValue().items())["type"] == "decimal(10,2)"
+    rows = {r["doc_id"]: r["amount"] for r in eng.table.read().collect()}
+    assert rows == {"a": Decimal("10.07"), "b": Decimal("99999999.99")}

@@ -1,0 +1,176 @@
+"""DEFAULT JsonWriteMode ingestion (the reference's out-of-the-box output:
+{"col": value} objects for k/r, relation message under "schema" —
+JsonOptions.cs:3-7,46; JsonWriter.cs:208-230,415-462).
+
+Same apply semantics as compact mode; only the parse differs
+(parse_default_events).  Scenarios replayed against the serial oracle.
+"""
+
+import json
+import os
+
+from tests.oracle import Oracle
+from tests.util import make_engine
+
+COLS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def dev(c, w, r=None, k=None, schema=None):
+    """Default-mode event: r/k dicts of {col: python value}."""
+    e = {"c": c, "w": w}
+    if schema is not None:
+        e["schema"] = schema
+    if k is not None:
+        e["k"] = k
+    if r is not None:
+        e["r"] = r
+    return e
+
+
+def write_default_jsonl(events, path, filename):
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, filename)
+    with open(fp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    return fp
+
+
+def _replay(spark, eng, batches):
+    from pgoutput2json_spark.sources.events import read_events
+
+    oracle = Oracle()
+    cols = list(COLS)  # stateful: evolves with schema events, like the oracle
+
+    def conv(e):
+        """Object-form -> positional-form for the serial oracle."""
+        nonlocal cols
+        out = {"c": e["c"], "w": e["w"]}
+        if "schema" in e:
+            cols = [c["name"] for c in e["schema"]["columns"]]
+            out["s"] = json.dumps(
+                ["public.docs"]
+                + [[c["name"], 1 if c.get("isKey") else 0,
+                    int(c.get("dataType", 25))] for c in e["schema"]["columns"]]
+            )
+        for part in ("k", "r"):
+            if part in e:
+                # absent object key = NOT SET (skip-on-update/null-on-insert)
+                # == the oracle's TOAST handling; explicit null = SET NULL
+                out[part] = [
+                    e[part][c] if c in e[part] else "__TOAST__" for c in cols
+                ]
+        return out
+
+    for i, batch in enumerate(batches):
+        write_default_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+        df = read_events(
+            spark, os.path.join(eng.opts.events_dir, f"{i:03d}.jsonl"),
+            "jsonl", json_mode="default",
+        )
+        eng.apply_batch(df, epoch_id=i)
+        oracle.replay([conv(e) for e in batch])
+    return oracle
+
+
+def test_default_mode_crud_matches_oracle(spark, tmpdir_path):
+    from tests.util import assert_matches_oracle
+
+    eng = make_engine(spark, tmpdir_path, json_mode="default")
+    b0 = [dev("I", 10 + i, {"doc_id": f"doc-{i:04d}", "tokens": [i, i + 1],
+                            "n_tok": 2, "source": "web"}) for i in range(20)]
+    b1 = (
+        # update omitting 'source' (WriteNulls=false drops nulls): NOT SET
+        [dev("U", 100 + i, {"doc_id": f"doc-{i:04d}", "tokens": [9, i], "n_tok": 2})
+         for i in range(0, 20, 3)]
+        # TOAST sentinel in object form
+        + [dev("U", 200, {"doc_id": "doc-0001", "tokens": "__TOAST__",
+                          "n_tok": 7, "source": "toast"})]
+        + [dev("D", 300, k={"doc_id": "doc-0002"})]
+        + [dev("I", 301, {"doc_id": "doc-0003", "tokens": [0], "n_tok": 1,
+                          "source": "dup"})]  # conflict -> ignored
+    )
+    oracle = _replay(spark, eng, [b0, b1])
+    # oracle treats absent slots as not-set already (positional short rows)
+    assert_matches_oracle(eng, oracle)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert list(rows["doc-0001"]["tokens"]) == [1, 2]  # TOAST preserved prior
+    assert rows["doc-0001"]["source"] == "toast"
+    assert "doc-0002" not in rows
+    assert rows["doc-0003"]["source"] == "web"
+
+
+def test_default_mode_key_update_and_truncate(spark, tmpdir_path):
+    from tests.util import assert_matches_oracle
+
+    eng = make_engine(spark, tmpdir_path, json_mode="default")
+    batches = [
+        [dev("I", 1, {"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"}),
+         dev("I", 2, {"doc_id": "b", "tokens": [2], "n_tok": 1, "source": "w"})],
+        # key change a -> a2 (k carries old key, r the new row)
+        [dev("U", 10, {"doc_id": "a2", "tokens": [1, 1], "n_tok": 2, "source": "mv"},
+             k={"doc_id": "a"})],
+        [dev("T", 100), dev("I", 101, {"doc_id": "c", "tokens": [3], "n_tok": 1,
+                                       "source": "post"})],
+    ]
+    oracle = _replay(spark, eng, batches)
+    assert_matches_oracle(eng, oracle)
+    assert [r["doc_id"] for r in eng.table.read().collect()] == ["c"]
+
+
+def test_default_mode_schema_evolution(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, json_mode="default")
+    schema = {
+        "tableName": "public.docs",
+        "columns": [
+            {"name": "doc_id", "isKey": True, "dataType": 25},
+            {"name": "tokens", "isKey": False, "dataType": 1007},
+            {"name": "n_tok", "isKey": False, "dataType": 23},
+            {"name": "source", "isKey": False, "dataType": 25},
+            {"name": "lang", "isKey": False, "dataType": 25},
+        ],
+    }
+    batches = [
+        [dev("I", 1, {"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"})],
+        [dev("U", 10, {"doc_id": "a", "tokens": [1, 2], "n_tok": 2,
+                       "source": "w", "lang": "en"}, schema=schema)],
+    ]
+    _replay(spark, eng, batches)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert rows["a"]["lang"] == "en"
+    assert "lang" in eng.table.column_names()
+
+
+def test_default_mode_explicit_null_sets_null(spark, tmpdir_path):
+    """WriteNulls=true emits explicit nulls: present-with-null = SET NULL
+    (unlike an absent key, which is skip-on-update)."""
+    eng = make_engine(spark, tmpdir_path, json_mode="default")
+    batches = [
+        [dev("I", 1, {"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"})],
+        [dev("U", 2, {"doc_id": "a", "tokens": [2], "n_tok": 1, "source": None})],
+    ]
+    _replay(spark, eng, batches)
+    row = eng.table.read().collect()[0]
+    assert row["source"] is None
+    assert list(row["tokens"]) == [2]
+
+
+def test_default_mode_streaming_drive(spark, tmpdir_path):
+    import time
+
+    eng = make_engine(spark, tmpdir_path, json_mode="default",
+                      max_files_per_trigger=1)
+    batches = [
+        [dev("I", 1 + i, {"doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                          "source": "w"}) for i in range(5)],
+        [dev("U", 10, {"doc_id": "d0", "tokens": [42], "n_tok": 1, "source": "w"}),
+         dev("D", 11, k={"doc_id": "d1"})],
+    ]
+    for i, batch in enumerate(batches):
+        fp = write_default_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+        t = time.time() + i * 0.01
+        os.utime(fp, (t, t))
+    eng.run_until_drained(120)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert list(rows["d0"]["tokens"]) == [42]
+    assert "d1" not in rows and len(rows) == 4

@@ -1,0 +1,215 @@
+"""Merge-on-read apply path (EngineOptions.merge_mode='mor').
+
+The CoW merge rewrites every touched bucket per epoch — with uniform keys
+that is the whole table every epoch, unbounded write-amplification at
+10^10 events.  MoR instead appends per-key folded delta files + tombstones
+(LakeTable.commit_append_deltas) that the read path folds via one
+max_by(__dv) per key; compaction folds delta logs back into base files.
+
+Checked here: semantic equivalence with the serial oracle (same scenarios
+as the CoW path), write-amplification bounds (bytes/epoch ~ batch, not
+table), epoch-replay idempotency, truncate fallback, schema evolution over
+live delta logs, time travel, compaction, and the streaming drive.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from tests.oracle import Oracle
+from tests.util import assert_matches_oracle, ev, make_engine, write_jsonl
+
+
+def _apply_batches(spark, eng, batches):
+    oracle = Oracle()
+    for i, batch in enumerate(batches):
+        write_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(
+            os.path.join(eng.opts.events_dir, f"{i:03d}.jsonl")
+        )
+        eng.apply_batch(df, epoch_id=i)
+        oracle.replay(batch)
+    return oracle
+
+
+def _mixed_batches():
+    b0 = [ev("I", 10 + i, [f"doc-{i:06d}", [i, i + 1], 2, "web"]) for i in range(40)]
+    b1 = (
+        [ev("U", 100 + i, [f"doc-{i:06d}", [9, i], 2, "code"]) for i in range(0, 40, 3)]
+        + [ev("D", 200 + i, k=[f"doc-{i:06d}", None, None, None]) for i in range(0, 40, 7)]
+        + [ev("I", 300, ["doc-000001", [7], 1, "dup"])]  # conflict -> ignored
+        + [ev("D", 301, k=["doc-999999", None, None, None])]  # missing -> no-op
+    )
+    b2 = (
+        # TOAST'd tokens: inherit from current state (which is a delta row)
+        [ev("U", 400 + i, [f"doc-{i:06d}", "__TOAST__", 5, "toast"]) for i in range(0, 40, 5)]
+        # key-change update: migrate doc 4 -> doc-new
+        + [ev("U", 500, ["doc-new-01", [4, 4], 2, "moved"], k=["doc-000004", None, None, None])]
+    )
+    return [b0, b1, b2]
+
+
+def test_mor_matches_oracle_multi_epoch(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor")
+    oracle = _apply_batches(spark, eng, _mixed_batches())
+    # deltas actually in play (not silently CoW)
+    assert eng.table.snapshot().get("deltas"), "expected live delta logs"
+    assert_matches_oracle(eng, oracle)
+
+
+def test_mor_equals_cow_state(spark, tmpdir_path):
+    roots = {m: os.path.join(tmpdir_path, m) for m in ("cow", "mor")}
+    states = {}
+    for mode, root in roots.items():
+        eng = make_engine(spark, root, merge_mode=mode)
+        _apply_batches(spark, eng, _mixed_batches())
+        states[mode] = {
+            r["doc_id"]: r.asDict(recursive=True) for r in eng.table.read().collect()
+        }
+    assert states["cow"] == states["mor"]
+
+
+def _bytes_of(table, rel_files):
+    return sum(os.path.getsize(os.path.join(table.root, f)) for f in rel_files)
+
+
+def _new_files_between(table, v0, v1):
+    def all_files(v):
+        s = table.snapshot(v)
+        out = set()
+        for fl in s["files"].values():
+            out.update(fl)
+        for fl in s.get("deltas", {}).values():
+            out.update(fl)
+        return out
+
+    return all_files(v1) - all_files(v0)
+
+
+def test_mor_write_amplification_bounded(spark, tmpdir_path):
+    """10 small update epochs on a 2000-row table: MoR bytes/epoch must track
+    the batch (~50 keys), not the table — and be far below CoW's."""
+    per_epoch = {}
+    for mode in ("cow", "mor"):
+        root = os.path.join(tmpdir_path, mode)
+        eng = make_engine(spark, root, merge_mode=mode, bucket_count=8)
+        # ~100 poorly-compressible tokens per row so data bytes dominate
+        # parquet per-file overhead (the quantity under test is data volume)
+        seed = [ev("I", i + 1, [f"doc-{i:06d}",
+                                [(i * 7919 + j * 104729) % 50261 for j in range(100)],
+                                100, "web"])
+                for i in range(2000)]
+        write_jsonl(seed, eng.opts.events_dir, "seed.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(
+            os.path.join(eng.opts.events_dir, "seed.jsonl"))
+        eng.apply_batch(df, epoch_id=0)
+        sizes = []
+        for e in range(1, 11):
+            # 50 uniform keys -> touches all 8 buckets every epoch
+            batch = [ev("U", 10_000 * e + i, [f"doc-{i * 40 % 2000:06d}", [e, i], 2, "upd"])
+                     for i in range(50)]
+            write_jsonl(batch, eng.opts.events_dir, f"u{e}.jsonl")
+            dfe = spark.read.schema(EVENT_SCHEMA).json(
+                os.path.join(eng.opts.events_dir, f"u{e}.jsonl"))
+            v0 = eng.table.current_version()
+            eng.apply_batch(dfe, epoch_id=e)
+            v1 = eng.table.current_version()
+            sizes.append(_bytes_of(eng.table, _new_files_between(eng.table, v0, v1)))
+        per_epoch[mode] = sizes
+        assert eng.table.read().count() == 2000
+    avg_cow = sum(per_epoch["cow"]) / len(per_epoch["cow"])
+    avg_mor = sum(per_epoch["mor"]) / len(per_epoch["mor"])
+    # CoW rewrites ~the whole table per epoch; MoR writes ~50 folded rows
+    assert avg_mor * 5 < avg_cow, (avg_mor, avg_cow)
+    # MoR per-epoch bytes are flat (batch-proportional), not table-growing
+    assert max(per_epoch["mor"]) < 2 * min(per_epoch["mor"]), per_epoch["mor"]
+
+
+def test_mor_epoch_replay_is_noop(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor")
+    write_jsonl([ev("I", 1, ["doc-000001", [1], 1, "web"])], eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    eng.apply_batch(df, epoch_id=0)
+    v = eng.table.current_version()
+    assert eng.apply_batch(df, epoch_id=0).get("skipped") is True
+    assert eng.table.current_version() == v
+
+
+def test_mor_truncate_clears_deltas(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor")
+    batches = [
+        [ev("I", 10 + i, [f"doc-{i:06d}", [i], 1, "web"]) for i in range(10)],
+        [ev("U", 30, ["doc-000001", [42], 1, "web"])],  # creates a delta log
+        [ev("T", 100), ev("I", 200, ["doc-phoenix", [9], 1, "post"])],
+    ]
+    oracle = _apply_batches(spark, eng, batches)
+    snap = eng.table.snapshot()
+    assert snap.get("deltas", {}) == {}  # truncate epoch runs CoW + clears logs
+    assert_matches_oracle(eng, oracle)
+    rows = eng.table.read().collect()
+    assert [r["doc_id"] for r in rows] == ["doc-phoenix"]
+
+
+def test_mor_compaction_folds_deltas(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor")
+    oracle = _apply_batches(spark, eng, _mixed_batches())
+    before = {r["doc_id"]: r.asDict(recursive=True) for r in eng.table.read().collect()}
+    assert eng.table.snapshot().get("deltas")
+    eng.table.compact_buckets(max_files_per_bucket=0)
+    assert eng.table.snapshot().get("deltas", {}) == {}
+    after = {r["doc_id"]: r.asDict(recursive=True) for r in eng.table.read().collect()}
+    assert before == after
+    assert_matches_oracle(eng, oracle)
+
+
+def test_mor_time_travel_and_expiry(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor")
+    b0 = [ev("I", 1, ["doc-000001", [1], 1, "web"])]
+    b1 = [ev("U", 2, ["doc-000001", [2], 1, "web"])]
+    _apply_batches(spark, eng, [b0, b1])
+    v_after_b0 = eng.table.current_version() - 1
+    assert [list(r["tokens"]) for r in eng.table.read_at(v_after_b0).collect()] == [[1]]
+    assert [list(r["tokens"]) for r in eng.table.read().collect()] == [[2]]
+    # expiry keeps files referenced by the last snapshot (incl. delta logs)
+    eng.table.expire_snapshots(keep_last=1)
+    assert [list(r["tokens"]) for r in eng.table.read().collect()] == [[2]]
+
+
+def test_mor_schema_evolution_over_deltas(spark, tmpdir_path):
+    """Add a column while earlier delta files lack it: old delta rows must
+    read through the evolved schema as NULL (same metadata-only rule as
+    base files)."""
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor")
+    rel = ["public.docs", ["doc_id", 1, 25], ["tokens", 0, 1007],
+           ["n_tok", 0, 23], ["source", 0, 25], ["lang", 0, 25]]
+    batches = [
+        [ev("I", 1, ["doc-000001", [1], 1, "web"]),
+         ev("I", 2, ["doc-000002", [2], 1, "web"])],
+        [ev("U", 10, ["doc-000001", [1, 1], 2, "web", "en"], s=rel)],
+    ]
+    oracle = _apply_batches(spark, eng, batches)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert rows["doc-000001"]["lang"] == "en"
+    assert rows["doc-000002"]["lang"] is None
+    assert_matches_oracle(eng, oracle)
+
+
+def test_mor_streaming_drive_with_auto_compaction(spark, tmpdir_path):
+    import time
+
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor",
+                      max_files_per_trigger=1, compact_every=2,
+                      compact_max_files=1)
+    for i, batch in enumerate(_mixed_batches()):
+        fp = write_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+        t = time.time() + i * 0.01
+        os.utime(fp, (t, t))
+    eng.run_until_drained(180)
+    oracle = Oracle()
+    for batch in _mixed_batches():
+        oracle.replay(batch)
+    assert_matches_oracle(eng, oracle)
+    # auto-maintenance ran: delta logs were folded at least once
+    ops = [s["summary"].get("operation") for s in eng.table.snapshots()]
+    assert "compact" in ops

@@ -77,3 +77,43 @@ def test_multi_table_streaming_resume(spark, tmpdir_path):
     assert users.read().first()["score"] == 42
     docs = eng2.engine_for("public.docs").table
     assert docs.read().count() == 1
+
+
+def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
+    """Per-table applies overlap in time (driver thread pool submits
+    independent Spark jobs concurrently) — not a serial per-table loop."""
+    import time
+
+    from pgoutput2json_spark.streaming.engine import CdcEngine
+
+    spans = {}
+    orig = CdcEngine.apply_batch
+
+    def traced(self, events, epoch_id):
+        t0 = time.time()
+        out = orig(self, events, epoch_id)
+        spans[self.opts.table_filter] = (t0, time.time())
+        return out
+
+    monkeypatch.setattr(CdcEngine, "apply_batch", traced)
+
+    eng = mk(spark, tmpdir_path)
+    events = []
+    for t in range(4):
+        name = f"public.t{t}"
+        s = f'["{name}",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],["source",0,25]]'
+        events.append(ev("I", t * 1000 + 1, [f"d-{t}-0", [t], 1, "web"], s=s, t=name))
+        events.extend(
+            ev("I", t * 1000 + 2 + i, [f"d-{t}-{i + 1}", [t, i], 2, "web"], t=name)
+            for i in range(30)
+        )
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    res = eng.apply_batch(df, 0)
+    assert len(res) == 4 and all(r.get("merge.rows_inserted") == 31 for r in res.values())
+
+    # at least one pair of per-table applies overlapped in wall-clock
+    ivs = sorted(spans.values())
+    assert len(ivs) == 4
+    overlaps = sum(1 for a, b in zip(ivs, ivs[1:]) if b[0] < a[1])
+    assert overlaps >= 1, f"applies ran serially: {ivs}"

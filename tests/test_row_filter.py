@@ -1,0 +1,60 @@
+"""P2 publication row filter: SQL predicate over row images
+(pg_publication_tables.rowfilter precedent, DataExporter.cs:505-539)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from tests.util import ev, make_engine, write_jsonl
+
+
+def _apply(spark, eng, batch, epoch):
+    write_jsonl(batch, eng.opts.events_dir, f"{epoch:03d}.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(eng.opts.events_dir, f"{epoch:03d}.jsonl"))
+    eng.apply_batch(df, epoch_id=epoch)
+
+
+def test_row_filter_insert_and_update_transitions(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, row_filter="n_tok >= 2")
+    # inserts: only n_tok >= 2 enter the table
+    _apply(spark, eng, [
+        ev("I", 1, ["a", [1], 1, "w"]),          # filtered out
+        ev("I", 2, ["b", [1, 2], 2, "w"]),       # kept
+        ev("I", 3, ["c", [1, 2, 3], 3, "w"]),    # kept
+    ], 0)
+    assert {r["doc_id"] for r in eng.table.read().collect()} == {"b", "c"}
+
+    _apply(spark, eng, [
+        # update moves 'b' OUT of the filter -> becomes a delete
+        ev("U", 10, ["b", [9], 1, "w"]),
+        # update moves 'a' (never inserted) INTO the filter -> upserted
+        ev("U", 11, ["a", [5, 6], 2, "w"]),
+        # plain delete always passes
+        ev("D", 12, k=["c", None, None, None]),
+    ], 1)
+    rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert set(rows) == {"a"}
+    assert list(rows["a"]["tokens"]) == [5, 6]
+
+
+def test_row_filter_bootstrap(spark, tmpdir_path):
+    eng = make_engine(spark, tmpdir_path, row_filter="source = 'web'")
+    snap = spark.createDataFrame(
+        [("a", [1], 1, "web"), ("b", [2], 1, "code")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    eng.bootstrap(snap)
+    assert [r["doc_id"] for r in eng.table.read().collect()] == ["a"]
+
+
+def test_row_filter_null_predicate_is_false(spark, tmpdir_path):
+    """NULL predicate result = not matching (SQL WHERE semantics): an insert
+    with NULL n_tok is dropped by 'n_tok >= 2'."""
+    eng = make_engine(spark, tmpdir_path, row_filter="n_tok >= 2")
+    _apply(spark, eng, [
+        ev("I", 1, ["a", [1], None, "w"]),
+        ev("I", 2, ["b", [1, 2], 2, "w"]),
+    ], 0)
+    assert {r["doc_id"] for r in eng.table.read().collect()} == {"b"}

@@ -33,13 +33,15 @@ def write_jsonl(events: list[dict], path: str, filename: str = "000.jsonl") -> s
     return fp
 
 
-def make_engine(spark, root: str, fmt: str = "jsonl", bucket_count: int = 8) -> CdcEngine:
+def make_engine(spark, root: str, fmt: str = "jsonl", bucket_count: int = 8,
+                **opts_kw) -> CdcEngine:
     opts = EngineOptions(
         table_root=os.path.join(root, "table"),
         events_dir=os.path.join(root, "events"),
         checkpoint_dir=os.path.join(root, "ckpt"),
         event_format=fmt,
         bucket_count=bucket_count,
+        **opts_kw,
     )
     return CdcEngine(spark, opts)
 
