@@ -42,25 +42,41 @@ def pg_number(col: Column, dtype: str = "double") -> Column:
     )
 
 
-def pg_number_array(col: Column, element_type: str = "int") -> Column:
-    """PG number-array literal ``{1,2,3}`` / ``{{1,2},{3,4}}`` -> Spark array.
+def pg_number_array(col: Column, element_type: str = "int", max_depth: int = 4) -> Column:
+    """PG number-array literal ``{1,2,3}`` / ``{{1,2},{3,4}}`` / deeper ->
+    Spark array (flattened to 1-D, the lake column type for OID 1007).
 
-    The multi-dim form is flattened after brace->bracket rewrite + from_json
-    (the reference recursively converts to nested JSON arrays,
-    JsonUtils.cs:98-101,236-269; NaN/Infinity elements -> 0 per the same
-    number rule).  JVM-only — this is the ``tokens`` (OID 1007) decode path.
+    Nesting depth is detected per value from the leading brace run and each
+    depth up to ``max_depth`` gets its own brace->bracket + from_json +
+    (depth-1)x flatten branch — the Catalyst equivalent of the reference's
+    arbitrary-depth recursion (JsonUtils.cs:98-101,236-269); NaN/Infinity
+    elements -> 0 per the same number rule.  JVM-only — this is the
+    ``tokens`` (OID 1007) decode path.
     """
     json_text = F.translate(col, "{}", "[]")
     # non-finite elements -> 0 before parse (case-insensitive)
     json_text = F.regexp_replace(json_text, r"(?i)-?(nan|infinity|inf)", "0")
     # NULL elements (unquoted, case-insensitive) -> JSON null
     json_text = F.regexp_replace(json_text, r"(?i)(?<=[\[,])NULL(?=[,\]])", "null")
-    flat = F.from_json(json_text, f"array<{element_type}>")
-    nested = F.from_json(json_text, f"array<array<{element_type}>>")
-    return F.when(col.isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(
-        F.when(F.startswith(F.regexp_replace(col, r"^\{\s*", "{"), F.lit("{{")), F.flatten(nested))
-        .otherwise(flat)
+
+    # depth = number of braces before the first non-brace/space character
+    lead = F.length(
+        F.regexp_replace(F.regexp_extract(col, r"^([\s{]*)", 1), r"\s", "")
     )
+
+    def parse_depth(d: int) -> Column:
+        schema = element_type
+        for _ in range(d):
+            schema = f"array<{schema}>"
+        c = F.from_json(json_text, schema)
+        for _ in range(d - 1):
+            c = F.flatten(c)
+        return c
+
+    expr = parse_depth(1)
+    for d in range(2, max_depth + 1):
+        expr = F.when(lead >= d if d == max_depth else lead == d, parse_depth(d)).otherwise(expr)
+    return F.when(col.isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(expr)
 
 
 @pandas_udf(T.ArrayType(T.StringType()))

@@ -1,0 +1,48 @@
+"""Partition-key routing distinct from the primary key (reference
+``WithPartitionKeyFields``: PgOutput2JsonBuilder.cs:47-51,
+ReplicationListenerOptions.cs:32-36, JsonWriter.cs:276-287).
+
+In the reference, the partition key decides the MQ destination partition /
+routing key of each change message — it does NOT change table storage.  The
+Spark-first analogue keeps lake bucketing on the primary key (merges must
+prune by merge key) and computes the routing partition as a column over the
+parsed event stream, for K1-style fan-out sinks (per-route topics, hash-
+partitioned egress, per-tenant consumers).
+
+Delete events carry key columns only, so when the partition key is not part
+of the PK their route falls back to the merge-key hash — the same looseness
+as the reference, whose key-only images leave the partition value builder
+empty (JsonWriter.cs:215-219,276-287).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def route_expr(
+    partition_cols: list[str], n_partitions: int, key_col: str = "doc_id"
+) -> Column:
+    """Routing partition for a parsed+exploded event row: hash of the
+    partition-key column values from the row image when present, else of
+    the merge key."""
+    have_img = F.lit(False)
+    for c in partition_cols:
+        have_img = have_img | F.col(f"f_{c}.set")
+    img = F.concat_ws(
+        "\x1f", *[F.col(f"f_{c}.val").cast("string") for c in partition_cols]
+    )
+    basis = F.when(have_img, img).otherwise(F.col(key_col).cast("string"))
+    return F.pmod(F.xxhash64(basis), F.lit(int(n_partitions))).cast("int")
+
+
+def with_route(
+    events: DataFrame,
+    partition_cols: list[str],
+    n_partitions: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Attach the ``route`` column (one JVM expression, no shuffle)."""
+    return events.withColumn(
+        "route", route_expr(partition_cols, n_partitions, key_col)
+    )

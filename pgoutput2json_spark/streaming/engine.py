@@ -36,7 +36,7 @@ from pgoutput2json_spark.lake.table import LakeTable
 from pgoutput2json_spark.operators.dedup import salted_lww_reduce
 from pgoutput2json_spark.operators.explode import explode_key_updates
 from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
-from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups, touched_buckets
+from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups
 from pgoutput2json_spark.operators.parse import parse_default_events, parse_events
 from pgoutput2json_spark.operators.rowfilter import apply_row_filter
 from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema
@@ -250,7 +250,24 @@ class CdcEngine:
                 flat = snapshot_cut(flat, field_names, n_events_hint=n_events)
                 grouped = group_events(flat, field_names).persist()
 
-            buckets = touched_buckets(grouped, table)
+            # ONE pass over the grouped batch yields BOTH the touched-bucket
+            # list (merge pruning) and the per-bucket lineage stats (M1) —
+            # the result is tiny (<= bucket_count rows), so lineage is then
+            # written driver-side with no second scan
+            lineage_rows = (
+                grouped.groupBy(table.bucket_expr("doc_id").alias("bucket"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.sum("n_events").alias("n_events"),
+                    F.min("min_lsn").alias("min_lsn"),
+                    F.max("max_lsn").alias("max_lsn"),
+                    F.sum("n_i").alias("n_insert"),
+                    F.sum("n_u").alias("n_update"),
+                    F.sum("n_d").alias("n_delete"),
+                )
+                .collect()
+            )
+            buckets = sorted(int(r["bucket"]) for r in lineage_rows)
             replaced = table.touched_buckets() if truncating else buckets
             target = (
                 self.spark.createDataFrame([], table.spark_schema())
@@ -272,7 +289,7 @@ class CdcEngine:
 
             lineage_path = None
             if opts.emit_lineage:
-                lineage_path = self._write_lineage(grouped, epoch_id)
+                lineage_path = self._write_lineage(lineage_rows, epoch_id)
             grouped.unpersist()
 
             summary = {
@@ -325,24 +342,28 @@ class CdcEngine:
             if opts.cache_events:
                 events.unpersist()
 
-    def _write_lineage(self, grouped: DataFrame, epoch_id: int) -> str:
+    #: lineage file schema (M1) — stable across rounds
+    _LINEAGE_SCHEMA = (
+        "bucket int, epoch long, n_keys long, n_events long, min_lsn long, "
+        "max_lsn long, n_insert long, n_update long, n_delete long"
+    )
+
+    def _write_lineage(self, lineage_rows: list, epoch_id: int) -> str:
         """M1 — per-bucket lineage (min/max LSN, event counts) for this
-        micro-batch; the file path is recorded in the same snapshot commit,
+        micro-batch; the rows were already aggregated in the touched-bucket
+        pass (tiny: <= bucket_count), so this is a driver-side write with no
+        extra scan.  The file path is recorded in the same snapshot commit,
         so lineage is exactly-once too."""
         rel = f"lineage/epoch={epoch_id}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.table.root, rel)
+        rows = [
+            (int(r["bucket"]), int(epoch_id), int(r["n_keys"]),
+             int(r["n_events"]), int(r["min_lsn"]), int(r["max_lsn"]),
+             int(r["n_insert"]), int(r["n_update"]), int(r["n_delete"]))
+            for r in lineage_rows
+        ]
         (
-            grouped.groupBy(self.table.bucket_expr("doc_id").alias("bucket"))
-            .agg(
-                F.lit(epoch_id).alias("epoch"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("n_events").alias("n_events"),
-                F.min("min_lsn").alias("min_lsn"),
-                F.max("max_lsn").alias("max_lsn"),
-                F.sum("n_i").alias("n_insert"),
-                F.sum("n_u").alias("n_update"),
-                F.sum("n_d").alias("n_delete"),
-            )
+            self.spark.createDataFrame(rows, self._LINEAGE_SCHEMA)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(out)

@@ -139,3 +139,29 @@ def test_relation_message_carries_decimal_typmod(spark, tmpdir_path):
     assert dict(eng.table.spark_schema()["amount"].jsonValue().items())["type"] == "decimal(10,2)"
     rows = {r["doc_id"]: r["amount"] for r in eng.table.read().collect()}
     assert rows == {"a": Decimal("10.07"), "b": Decimal("99999999.99")}
+
+
+def test_number_array_deep_nesting(spark):
+    """Multi-dim array literals at any depth flatten to the 1-D lake column
+    (reference recurses arbitrarily, JsonUtils.cs:236-269)."""
+    from pgoutput2json_spark.functions.decode import pg_number_array
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("{1,2,3}",),
+        ("{{1,2},{3,4}}",),
+        ("{{{1,2},{3,4}},{{5,6},{7,8}}}",),
+        ("{{{{1},{2}},{{3},{4}}}}",),   # depth 4
+        ("{ {9,10}, {11,NULL} }",),     # spaces + NULL element
+        ("{}",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    out = [r["v"] for r in df.select(pg_number_array(F.col("raw")).alias("v")).collect()]
+    assert out[0] == [1, 2, 3]
+    assert out[1] == [1, 2, 3, 4]
+    assert out[2] == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert out[3] == [1, 2, 3, 4]
+    assert out[4] == [9, 10, 11, None]
+    assert out[5] == []
+    assert out[6] is None

@@ -1,0 +1,63 @@
+"""Kafka source adapter: envelope transform tested broker-free (the stream
+constructor is jar-gated; everything after .load() is this same plan)."""
+
+import json
+
+import pytest
+
+from pgoutput2json_spark.sources.kafka import (
+    kafka_records_to_envelope,
+    read_kafka_events_stream,
+)
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def _records(spark, events):
+    rows = [
+        (None, json.dumps(e).encode(), "cdc.docs", i % 3, i, None, 0)
+        for i, e in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, KAFKA_SCHEMA)
+
+
+def test_compact_records_to_envelope_and_apply(spark, tmpdir_path):
+    events = [
+        {"c": "I", "w": 1, "t": "public.docs", "r": ["d1", [1, 2], 2, "web"]},
+        {"c": "U", "w": 2, "t": "public.docs", "r": ["d1", [3], 1, "web"]},
+        {"c": "D", "w": 3, "t": "public.docs", "k": ["d1", None, None, None]},
+        {"c": "I", "w": 4, "t": "public.docs", "r": ["d2", [9], 1, "code"]},
+    ]
+    env = kafka_records_to_envelope(_records(spark, events))
+    assert [f.name for f in env.schema.fields] == ["c", "w", "t", "s", "k", "r", "cts", "mts"]
+    # raw-JSON slot coercion matches the file reader: tokens arrive as text
+    rows = {r["w"]: r for r in env.collect()}
+    assert rows[1]["r"][1] in ("[1,2]", "[1, 2]")
+    # full apply through the engine's batch path
+    from tests.util import make_engine
+
+    eng = make_engine(spark, tmpdir_path)
+    eng.apply_batch(env, epoch_id=0)
+    out = {r["doc_id"]: r for r in eng.table.read().collect()}
+    assert set(out) == {"d2"}
+    assert list(out["d2"]["tokens"]) == [9]
+
+
+def test_default_mode_records_to_envelope(spark):
+    events = [
+        {"c": "I", "w": 1, "r": {"doc_id": "d1", "tokens": [1], "n_tok": 1,
+                                 "source": "web"}},
+        {"c": "D", "w": 2, "k": {"doc_id": "d1"}},
+    ]
+    env = kafka_records_to_envelope(_records(spark, events), json_mode="default")
+    rows = {r["w"]: r for r in env.collect()}
+    assert rows[1]["r"]["doc_id"] == "d1"
+    assert rows[2]["k"]["doc_id"] == "d1"
+
+
+def test_kafka_stream_constructor_is_gated(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_events_stream(spark, "localhost:9092", "cdc.docs")

@@ -124,3 +124,31 @@ def test_engine_options_validation():
                       bucket_count=0)
     with _pt.raises(ValueError, match="required"):
         EngineOptions(table_root="", events_dir="b", checkpoint_dir="c")
+
+
+def test_partition_key_routing(spark):
+    """Partition-key columns distinct from the PK route events by row-image
+    hash; deletes (key-only) fall back to the merge-key hash (reference
+    WithPartitionKeyFields semantics)."""
+    from pyspark.sql import functions as F
+
+    from pgoutput2json_spark.operators.route import with_route
+    from pgoutput2json_spark.plans.apply import fcol
+
+    rows = spark.createDataFrame(
+        [("d1", "web", "I"), ("d2", "web", "I"), ("d3", "code", "I"),
+         ("d1", None, "D")],
+        "doc_id string, source string, op string",
+    ).select(
+        "doc_id", "op",
+        fcol(F.col("op") != "D", F.col("source"), "string").alias("f_source"),
+    )
+    out = {(r["doc_id"], r["op"]): r["route"]
+           for r in with_route(rows, ["source"], 8).collect()}
+    # same partition-key value -> same route; different value may differ
+    assert out[("d1", "I")] == out[("d2", "I")]
+    assert all(0 <= v < 8 for v in out.values())
+    # delete has no image: routed by merge key (deterministic, in range)
+    again = {(r["doc_id"], r["op"]): r["route"]
+             for r in with_route(rows, ["source"], 8).collect()}
+    assert out == again

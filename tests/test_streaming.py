@@ -127,3 +127,29 @@ def test_auto_compaction_and_expiry(spark, tmpdir_path):
     n_live = sum(len(fl) for fl in files.values())
     assert n_disk < 40  # GC happened (6 epochs x 2 buckets + compactions)
     assert eng.table.read().count() == 7
+
+
+def test_time_based_trigger_flushes(spark, tmpdir_path):
+    """B2 time-based flush: a processingTime trigger picks up segments as
+    they arrive without availableNow draining (reference
+    ReplicationListenerOptions BatchFlushInterval analogue)."""
+    eng = make_engine(spark, tmpdir_path)
+    _write_segment(eng, [ev("I", 1, ["doc-000001", [1], 1, "web"])], "a.jsonl")
+    q = eng.start_stream(available_now=False, processing_time="1 seconds")
+    try:
+        def poll(pred, timeout=90):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if pred():
+                    return True
+                time.sleep(1)
+            return False
+
+        assert poll(lambda: eng.table.read().count() == 1), "first flush missed"
+        _write_segment(eng, [ev("U", 2, ["doc-000001", [2, 2], 2, "web"]),
+                             ev("I", 3, ["doc-000002", [3], 1, "web"])], "b.jsonl")
+        assert poll(lambda: eng.table.read().count() == 2), "second flush missed"
+        rows = {r["doc_id"]: r for r in eng.table.read().collect()}
+        assert list(rows["doc-000001"]["tokens"]) == [2, 2]
+    finally:
+        q.stop()
