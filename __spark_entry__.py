@@ -681,6 +681,113 @@ WHERE round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k: candidates share the query's 8-plane sign
+    bucket, exact cosine re-rank within the bucket — per-query cost O(N/2^P)."""
+    emb = _emb(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return sim.ann_lsh_topk(emb, queries, dim=64, k=10, planes=8)
+
+
+def _sql_ann_lsh_topk(dim: int = 64, planes: int = 8, k: int = 10) -> str:
+    return f"""
+WITH pl AS (
+  SELECT j, d, (({MD5L.format(x="'srp:' || j || ':' || d")}) % 2001 - 1000)::DOUBLE AS h
+  FROM range(0, {planes}) t1(j) CROSS JOIN range(0, {dim}) t2(d)
+),
+comp AS (
+  SELECT e.vec_id, pl.j, sum(e.embedding[pl.d + 1]::DOUBLE * pl.h) AS dp
+  FROM embeddings e JOIN pl ON true
+  GROUP BY e.vec_id, pl.j
+),
+buck AS (
+  SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+  FROM comp GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.q_vec::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))), 4) AS score
+  FROM q JOIN buck bq ON bq.vec_id = q.q_id
+         JOIN buck be ON be.bucket = bq.bucket
+         JOIN embeddings e ON e.vec_id = be.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic md5-sampled centroids, GEMM list
+    assignment (broadcast centroids, no shuffle), nprobe-nearest-list probe,
+    exact cosine re-rank of candidates only."""
+    emb = _emb(spark, sf_dir)
+    queries_pd = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .toPandas()
+    )
+    return sim.ann_ivf_topk(emb, queries_pd, dim=64, k=10, n_centroids=16, nprobe=4)
+
+
+def _sql_ann_ivf_topk(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    cos = (
+        "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+        " (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+        "  sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 4)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT c_id, c_vec FROM (
+    SELECT vec_id AS c_id, embedding AS c_vec,
+           {MD5L.format(x="'ivf:' || vec_id")} AS h
+    FROM embeddings)
+  ORDER BY h, c_id LIMIT {n_centroids}
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.c_id AS list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.embedding", b="c.c_vec")} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+probe AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.q_id, c.c_id AS list_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {cos.format(a="q.q_vec", b="c.c_vec")} DESC, c.c_id) AS rn
+    FROM q CROSS JOIN cent c)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         {cos.format(a="e.embedding", b="q.q_vec")} AS score
+  FROM probe p JOIN assign a USING (list_id)
+       JOIN embeddings e ON e.vec_id = a.vec_id
+       JOIN q ON q.q_id = p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
@@ -1056,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_gemm_topk": q_ann_gemm_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1091,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "ann_topk_bruteforce": SQL_ANN_TOPK,
         "ann_gemm_topk": SQL_ANN_TOPK,
+        "ann_lsh_topk": _sql_ann_lsh_topk(dim=64, planes=8, k=10),
+        "ann_ivf_topk": _sql_ann_ivf_topk(n_centroids=16, nprobe=4, k=10),
         "embedding_neardup": _sql_srp_neardup(dim=64, planes=8, bands=3, threshold=0.25),
         "text_langid": _sql_langid(),
         "text_quality": _sql_quality(),

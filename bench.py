@@ -49,6 +49,8 @@ PIPELINE_QUERIES = [
     "dedup_simhash_pairs",
     "ann_topk_bruteforce",
     "ann_gemm_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_neardup",
     "text_langid",
     "text_quality",

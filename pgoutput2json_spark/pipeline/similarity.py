@@ -5,9 +5,12 @@
   evaluation order, hence engine-reproducible after rounding).
 - ``topk_gemm``: the throughput path — broadcast the query matrix, numpy GEMM
   per Arrow batch via mapInPandas (vectorized, no per-row Python).
-- ``ann_lsh_topk``: the scale path — sign-random-projection LSH buckets from
+- ``ann_lsh_topk``: a scale path — sign-random-projection LSH buckets from
   deterministic md5-derived hyperplanes; candidates probe only their bucket,
   so the per-query work is O(bucket), not O(N).
+- ``ann_ivf_topk``: the other classic scale path — IVF (inverted-file) lists:
+  deterministic centroids, one GEMM assignment pass (broadcast centroids, no
+  shuffle), queries probe only their ``nprobe`` nearest lists.
 - ``cosine_neardup_pairs``: embedding near-duplicate detection (pairs above a
   cosine threshold) via the same LSH bucketing.
 """
@@ -160,6 +163,124 @@ def ann_lsh_topk(
     q = queries.withColumn("bucket", srp_bucket(F.col("q_vec"), dim, planes))
     j = v.join(F.broadcast(q), "bucket")
     scored = j.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "score")
+        .orderBy("q_id", "rank")
+    )
+
+
+# ----------------------------------------------------------------- IVF (inverted file)
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Deterministic coarse-quantizer centroids: the ``n_centroids`` vectors
+    with the smallest ``md5('ivf:' || id)`` — a uniform, engine-independent
+    sample (the stand-in for k-means iterations; the assignment/probe
+    plumbing below is identical either way).  Tiny result (C rows), safe to
+    collect."""
+    return (
+        vectors.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+            md5_long(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))).alias("__h"),
+        )
+        .orderBy("__h", "c_id")
+        .limit(n_centroids)
+        .drop("__h")
+        .toPandas()
+        .sort_values("c_id", ignore_index=True)
+    )
+
+
+def _cos_matrix(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Rounded cosine score matrix (rows x centroids), float64."""
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(mn @ cn.T, 4)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids_pd: pd.DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (its IVF list) in one
+    vectorized GEMM pass per Arrow batch against the broadcast centroid
+    matrix — no shuffle, the assignment that scales to 100 TB.  Scores are
+    rounded to 4 decimals with ties broken toward the smallest ``c_id`` so
+    any engine reproduces the same lists."""
+    spark = vectors.sparkSession
+    cm = np.stack(centroids_pd["c_vec"].to_numpy()).astype(np.float64)
+    cids = centroids_pd["c_id"].to_numpy()  # ascending (sorted in ivf_centroids)
+    bcm, bcid = spark.sparkContext.broadcast(cm), spark.sparkContext.broadcast(cids)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = _cos_matrix(m, bcm.value)
+            # argmax returns the FIRST max -> lowest c_id on rounded ties
+            lists = bcid.value[np.argmax(scores, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "list_id": lists, vec_col: pdf[vec_col]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, list_id long, {vec_col} array<float>"
+    )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries_pd: pd.DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    centroid lists; candidates are re-ranked by exact cosine.  At scale the
+    list assignment is a GEMM map (no shuffle), the probe table (Q x nprobe
+    rows) is broadcast, and only candidate rows ever shuffle — per-query cost
+    is O(N * nprobe / C) instead of O(N)."""
+    spark = vectors.sparkSession
+    cents = ivf_centroids(vectors, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(vectors, cents, vec_col, id_col)
+
+    qm = np.stack(queries_pd["q_vec"].to_numpy()).astype(np.float64)
+    cm = np.stack(cents["c_vec"].to_numpy()).astype(np.float64)
+    cids = cents["c_id"].to_numpy()
+    qscores = _cos_matrix(qm, cm)  # (Q, C) rounded
+    probes = []  # driver-side: Q*C is tiny (probe lists, not data)
+    for qi, q_id in enumerate(queries_pd["q_id"].to_numpy()):
+        order = np.lexsort((cids, -qscores[qi]))[:nprobe]  # score desc, c_id asc
+        probes.extend((int(q_id), int(cids[ci])) for ci in order)
+    probe_df = spark.createDataFrame(probes, "q_id long, list_id long")
+    q_df = spark.createDataFrame(
+        [(int(q), [float(x) for x in v])
+         for q, v in zip(queries_pd["q_id"], queries_pd["q_vec"])],
+        "q_id long, q_vec array<float>",
+    )
+
+    cand = assigned.join(F.broadcast(probe_df), "list_id").join(
+        F.broadcast(q_df), "q_id"
+    )
+    scored = cand.select(
         "q_id",
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("score"),

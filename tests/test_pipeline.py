@@ -95,6 +95,33 @@ def test_ann_lsh_self_hit(spark):
     assert top1 == {0: 0, 1: 1}  # a vector's own bucket must contain itself
 
 
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    rng = [(i, [float(((i * 31 + j * 17) % 97) - 48) / 48.0 for j in range(8)])
+           for i in range(40)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    # probing every list makes IVF exhaustive -> must equal the exact answer
+    ivf = sim.ann_ivf_topk(emb, queries.toPandas(), dim=8, k=5,
+                           n_centroids=4, nprobe=4).collect()
+    assert [(r["q_id"], r["rank"], r["vec_id"]) for r in bf] == \
+           [(r["q_id"], r["rank"], r["vec_id"]) for r in ivf]
+
+
+def test_ann_ivf_partial_probe_self_hit(spark):
+    rng = [(i, [float(((i * 13 + j * 7) % 53) - 26) for j in range(8)])
+           for i in range(30)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = sim.ann_ivf_topk(emb, queries.toPandas(), dim=8, k=3,
+                           n_centroids=4, nprobe=1).collect()
+    top1 = {r["q_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    # a query vector's own list is its nearest list -> it must find itself
+    assert top1 == {0: 0, 1: 1}
+
+
 def test_multimodal_plumbing(docs):
     media = mm.synth_media(docs)
     assert media.count() == 6
