@@ -1,0 +1,17 @@
+from pgoutput2json_spark.sinks.publish import (
+    FileTransport,
+    JsonPublisher,
+    KafkaTransport,
+    PublisherOptions,
+    WebhookTransport,
+    route_events,
+)
+
+__all__ = [
+    "FileTransport",
+    "JsonPublisher",
+    "KafkaTransport",
+    "PublisherOptions",
+    "WebhookTransport",
+    "route_events",
+]

@@ -174,10 +174,12 @@ def generate_events(spark: SparkSession, spec: GeneratorSpec) -> DataFrame:
     return out
 
 
-def to_json_lines(events: DataFrame):
+def to_json_lines(events: DataFrame, extra: tuple = ()):
     """Render events as reference-faithful compact JSON text lines
     (heterogeneous ``r``: raw arrays/numbers, not quoted strings —
-    README.md:45-54 format), entirely with JVM string expressions."""
+    README.md:45-54 format), entirely with JVM string expressions.
+    ``extra`` names envelope columns to carry through next to the line
+    (the publish sink keeps t/k/r for routing)."""
 
     def arr_json(col):
         # slots are raw JSON text: strings need quoting, raw JSON passes through
@@ -203,7 +205,7 @@ def to_json_lines(events: DataFrame):
         F.lit(',"mts":'), F.col("mts").cast("string"),
         F.lit("}"),
     )
-    return events.select(line.alias("value"), F.col("w"))
+    return events.select(line.alias("value"), F.col("w"), *extra)
 
 
 def write_events(events: DataFrame, path: str, fmt: str = "jsonl", n_files: int = 8) -> None:

@@ -1,0 +1,195 @@
+"""Publish egress (K2-K7): routing, file-transport exactly-once, webhook
+POST batches, Kafka gating.
+
+Reference contract being mirrored: every publisher serializes each change
+event to wire JSON, routes it to (topic(table), partition(hash(key))),
+preserves WAL order per partition, and resumes from the last published
+position (KafkaPublisher.cs:107-175, WebhookPublisher.cs)."""
+
+import http.server
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.sinks import (
+    FileTransport,
+    JsonPublisher,
+    KafkaTransport,
+    PublisherOptions,
+    WebhookTransport,
+    route_events,
+)
+from pgoutput2json_spark.schema import DOCS_RELATION
+from pgoutput2json_spark.sources.events import read_events
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    write_events,
+)
+from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pubwal")
+    spec = GeneratorSpec(n_events=3_000, n_keys=300, seed=7, snapshot_keys=100)
+    write_events(generate_events(spark, spec), f"{root}/events", "jsonl", 6)
+    return str(root)
+
+
+def _routed(spark, wal, n_partitions=4):
+    ev = read_events(spark, f"{wal}/events", "jsonl")
+    return route_events(ev, [(-1, DOCS_RELATION)], "cdc.", n_partitions)
+
+
+def test_routing_is_stable_and_key_faithful(spark, wal):
+    r = _routed(spark, wal).cache()
+    # topic = prefix + table, partition within range
+    topics = [x["topic"] for x in r.select("topic").distinct().collect()]
+    assert topics == ["cdc.public.docs"]
+    pr = r.agg(F.min("partition"), F.max("partition")).first()
+    assert pr[0] >= 0 and pr[1] <= 3
+    # same key -> same partition, always (per-key ordering depends on it)
+    bad = (
+        r.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.countDistinct("partition").alias("np"))
+        .filter(F.col("np") > 1)
+        .count()
+    )
+    assert bad == 0
+    # value is the wire line: parses as JSON with the envelope fields
+    row = r.filter(F.col("key").isNotNull()).select("value").first()
+    obj = json.loads(row["value"])
+    assert {"c", "w", "t"} <= set(obj)
+    r.unpersist()
+
+
+def test_file_transport_roundtrip_reproduces_table(spark, wal, tmp_path):
+    """Publish the WAL through the file transport, then re-ingest the
+    published topic as an event stream — the replayed table must equal the
+    table built from the original WAL (the consumer-fidelity check)."""
+    out = tmp_path / "broker"
+    pub = JsonPublisher(
+        spark,
+        PublisherOptions(
+            events_dir=f"{wal}/events",
+            checkpoint_dir=str(tmp_path / "pubckpt"),
+            n_partitions=4,
+        ),
+        FileTransport(str(out)),
+    )
+    pub.run_until_drained()
+    assert pub.published_epochs  # at least one epoch published
+
+    # consumer side: re-ingest every published line through the engine
+    consumed = tmp_path / "consumed-events"
+    ft = FileTransport(str(out))
+    lines = ft.read_topic(spark, "cdc.public.docs")
+    lines.coalesce(1).write.mode("overwrite").text(str(consumed))
+
+    def build(events_dir, root):
+        eng = CdcEngine(
+            spark,
+            EngineOptions(
+                table_root=f"{root}/table",
+                events_dir=events_dir,
+                checkpoint_dir=f"{root}/ckpt",
+                bucket_count=4,
+            ),
+        )
+        eng.replay_batch()
+        return eng.table.read()
+
+    got = build(str(consumed), str(tmp_path / "a"))
+    want = build(f"{wal}/events", str(tmp_path / "b"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_file_transport_epoch_replay_is_noop(spark, wal, tmp_path):
+    ft = FileTransport(str(tmp_path / "broker"))
+    ev = read_events(spark, f"{wal}/events", "jsonl").limit(50)
+    routed = route_events(ev, [(-1, DOCS_RELATION)], "cdc.", 2)
+    ft.publish(routed, 0)
+    assert ft.committed_epoch() == 0
+    # a publisher restart replays epoch 0 -> skipped, no duplicate lines
+    pub = JsonPublisher(
+        spark,
+        PublisherOptions(events_dir=f"{wal}/events", checkpoint_dir="unused"),
+        ft,
+    )
+    n_before = ft.read_topic(spark, "cdc.public.docs").count()
+    pub.apply_batch(ev, 0)
+    assert ft.read_topic(spark, "cdc.public.docs").count() == n_before
+    assert pub.published_epochs == []
+
+
+def test_partition_files_are_lsn_ordered(spark, wal, tmp_path):
+    ft = FileTransport(str(tmp_path / "broker"))
+    ft.publish(_routed(spark, wal), 0)
+    root = tmp_path / "broker" / "epoch=0" / "topic=cdc.public.docs"
+    parts = sorted(os.listdir(root))
+    assert len(parts) == 4  # one dir per partition
+    for p in parts:
+        pdir = root / p
+        files = [f for f in os.listdir(pdir) if f.startswith("part-")]
+        assert len(files) == 1  # one ordered file per (topic, partition)
+        ws = []
+        with open(pdir / files[0]) as fh:
+            for line in fh:
+                ws.append(json.loads(line)["w"])
+        assert ws == sorted(ws)
+
+
+class _Collector(http.server.BaseHTTPRequestHandler):
+    received: list = []
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        type(self).received.append(
+            {
+                "topic": self.headers["X-Cdc-Topic"],
+                "partition": int(self.headers["X-Cdc-Partition"]),
+                "epoch": int(self.headers["X-Cdc-Epoch"]),
+                "lines": body.decode().splitlines(),
+            }
+        )
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+def test_webhook_transport_posts_ordered_batches(spark, wal):
+    _Collector.received = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Collector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        wt = WebhookTransport(f"http://127.0.0.1:{srv.server_port}/ingest")
+        routed = _routed(spark, wal)
+        n_lines = routed.count()
+        wt.publish(routed, 3)
+        got = _Collector.received
+        assert sum(len(b["lines"]) for b in got) == n_lines
+        assert {b["epoch"] for b in got} == {3}
+        assert {b["topic"] for b in got} == {"cdc.public.docs"}
+        # one batch per partition, LSN-ordered inside each
+        assert sorted(b["partition"] for b in got) == [0, 1, 2, 3]
+        for b in got:
+            ws = [json.loads(x)["w"] for x in b["lines"]]
+            assert ws == sorted(ws)
+    finally:
+        srv.shutdown()
+
+
+def test_kafka_transport_is_gated_with_coordinate(spark, wal):
+    kt = KafkaTransport("localhost:9092")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kt.publish(_routed(spark, wal).limit(5), 0)
