@@ -1,0 +1,164 @@
+"""Streaming stream-health operators over the change-event envelope.
+
+Two Structured-Streaming-native companions to the apply engine (M1 metrics
+give per-epoch lineage; these give *event-time* and *per-key* views):
+
+- :func:`change_rate_stream` — watermarked tumbling-window counts of
+  I/U/D/T per table: the event-time monitoring view (late events within the
+  watermark still land in their window; later ones are dropped, which is
+  the right semantics for a monitoring stream — the apply path itself never
+  drops anything, its order guarantee is the LSN fold).
+- :func:`hot_key_stream` — a *stateful* per-key event counter
+  (``applyInPandasWithState``) that emits keys whose cumulative change count
+  crosses a threshold.  This is the online feed for the R1 skew story: keys
+  it flags are exactly the ones the salted LWW reduce and AQE skew-join
+  protect against (a viral doc_id receiving millions of updates).  State is
+  one long per key, partitioned by key — at 10^10 events state size is
+  bounded by the *hot* keyset, because cold keys can be dropped by the
+  count-floor filter before the stateful stage.
+
+Both operate on the raw envelope (no parse needed): ``t``, ``c``, ``w``,
+``cts`` (commit timestamp, the event-time column) and the key slots ``k``/
+``r`` — key extraction reuses the publisher's per-relation-version routing
+key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def change_rate_stream(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling event-time windows of change counts per table.
+
+    ``cts`` is epoch-millis on the wire (reference WriteTimestamps option);
+    the watermark bounds both state size and late-data acceptance.
+    """
+    with_ts = events.withColumn(
+        "event_time", F.timestamp_millis(F.col("cts"))
+    ).withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy(F.window("event_time", window).alias("win"), F.col("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("c") == "I").cast("int")).alias("n_insert"),
+            F.sum((F.col("c") == "U").cast("int")).alias("n_update"),
+            F.sum((F.col("c") == "D").cast("int")).alias("n_delete"),
+            F.min("w").alias("min_lsn"),
+            F.max("w").alias("max_lsn"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "t",
+            "n_events",
+            "n_insert",
+            "n_update",
+            "n_delete",
+            "min_lsn",
+            "max_lsn",
+        )
+    )
+
+
+_HOTKEY_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("last_lsn", T.LongType()),
+    ]
+)
+_HOTKEY_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_lsn", T.LongType()),
+        T.StructField("reported_at", T.LongType()),  # count at last report (0 = never)
+    ]
+)
+
+
+def hot_key_stream(
+    events: DataFrame,
+    threshold: int,
+    key_col_expr=None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Emit keys whose cumulative change-event count crosses ``threshold``.
+
+    Stateful across micro-batches (``applyInPandasWithState``): state per
+    key is (count, last_lsn, reported_at).  A key is emitted when it first
+    crosses the threshold and again whenever it doubles since the last
+    report — a runaway key keeps reporting without flooding the sink.
+
+    A stateful operator cannot sit downstream of a streaming aggregation, so
+    the per-batch counting happens *inside* the state function (vectorized
+    over each key's Arrow batches).  State growth at scale is bounded by
+    ``state_ttl_ms`` — a processing-time timeout that evicts keys idle for
+    that long (cold keys only ever cost state until their TTL), which is the
+    right semantics for a hot-key monitor: heat decays.
+
+    ``key_col_expr`` defaults to the first ``k`` slot (the envelope's key
+    image; inserts fall back to the first ``r`` slot — for the docs relation
+    both are the doc_id).
+    """
+    key = key_col_expr if key_col_expr is not None else F.coalesce(
+        F.element_at("k", 1), F.element_at("r", 1)
+    )
+    per_key = events.select(
+        key.cast("string").alias("key"), F.col("w")
+    ).filter(F.col("key").isNotNull())
+
+    thr = int(threshold)
+    ttl = state_ttl_ms
+
+    def track(
+        key_tuple: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # cold key: heat decayed, free the state
+            return
+        n_new, last = 0, 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            last = max(last, int(pdf["w"].max()))
+        if state.exists:
+            n_old, last_old, reported_at = state.get
+            n, last = int(n_old) + n_new, max(last, int(last_old))
+            reported_at = int(reported_at)
+        else:
+            n, reported_at = n_new, 0
+        # report at the first crossing, then at every doubling since the
+        # last report (runaway keys keep reporting without flooding)
+        fire = (reported_at == 0 and n >= thr) or (
+            reported_at > 0 and n >= 2 * reported_at
+        )
+        state.update((n, last, n if fire else reported_at))
+        if ttl:
+            state.setTimeoutDuration(int(ttl))
+        if fire:
+            yield pd.DataFrame(
+                {"key": [key_tuple[0]], "total_events": [n], "last_lsn": [last]}
+            )
+
+    return per_key.groupBy("key").applyInPandasWithState(
+        track,
+        outputStructType=_HOTKEY_OUTPUT,
+        stateStructType=_HOTKEY_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1,0 +1,156 @@
+"""Streaming monitors: watermarked change-rate windows and the stateful
+hot-key detector (applyInPandasWithState)."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.streaming.monitor import change_rate_stream, hot_key_stream
+
+
+def _write_segment(path, events):
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _ev(c, w, key, cts, t="public.docs"):
+    body = {"c": c, "w": w, "t": t, "cts": cts, "mts": cts}
+    if c == "I":
+        body["r"] = [str(key), "[1,2]", "2", "web"]
+    else:
+        body["k"] = [str(key)]
+        if c == "U":
+            body["r"] = [str(key), "[3]", "1", "web"]
+    return body
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    ev = tmp_path / "events"
+    ev.mkdir()
+    return ev, tmp_path / "ckpt"
+
+
+def _drain(q, timeout=120):
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+
+
+def test_change_rate_windows(spark, stream_dirs):
+    ev_dir, ckpt = stream_dirs
+    base = 1_700_000_000_000  # epoch millis, window-aligned by floor
+    events = (
+        [_ev("I", w, w, base + 1_000) for w in range(1, 6)]
+        + [_ev("U", w, w - 5, base + 61_000) for w in range(6, 9)]
+        + [_ev("D", 9, 1, base + 62_000)]
+    )
+    _write_segment(ev_dir / "a.jsonl", events)
+    from pgoutput2json_spark.sources.events import read_events_stream
+
+    stream = read_events_stream(spark, str(ev_dir), "jsonl")
+    rates = change_rate_stream(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("update")  # monitoring view: emit windows as they update
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM rates").collect()
+    assert any(r["n_insert"] == 5 and r["n_events"] == 5 for r in rows)
+    assert any(r["n_update"] == 3 and r["n_delete"] == 1 for r in rows)
+    # window bounds are 1-minute aligned
+    assert all((r["window_end"] - r["window_start"]).seconds == 60 for r in rows)
+
+
+def test_hot_key_detector_accumulates_across_batches(spark, stream_dirs):
+    ev_dir, ckpt = stream_dirs
+    base = 1_700_000_000_000
+    # batch 1: key 'hot' 4 events, 'cold' 1 event; batch 2: 'hot' 4 more
+    _write_segment(
+        ev_dir / "a.jsonl",
+        [_ev("U", w, "hot", base + w) for w in range(1, 5)]
+        + [_ev("I", 5, "cold", base + 5)],
+    )
+    from pgoutput2json_spark.sources.events import read_events_stream
+
+    sink: list = []
+
+    def run():
+        stream = read_events_stream(
+            spark, str(ev_dir), "jsonl", max_files_per_trigger=1
+        )
+        hot = hot_key_stream(stream, threshold=6)
+        q = (
+            hot.writeStream.foreachBatch(
+                lambda df, eid: sink.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    run()
+    assert sink == []  # 4 < 6: not hot yet
+
+    import time
+
+    time.sleep(1.1)  # file source orders by mtime
+    _write_segment(
+        ev_dir / "b.jsonl",
+        [_ev("U", w, "hot", base + w) for w in range(5, 9)],
+    )
+    run()
+    got = {(r["key"], r["total_events"]) for r in sink}
+    # crossed the threshold with cumulative state 4 + 4 = 8 >= 6
+    assert ("hot", 8) in got
+    assert all(k != "cold" for k, _ in got)
+
+
+def test_hot_key_doubling_reports(spark, stream_dirs):
+    ev_dir, ckpt = stream_dirs
+    base = 1_700_000_000_000
+    import time
+
+    from pgoutput2json_spark.sources.events import read_events_stream
+
+    sink: list = []
+
+    def run():
+        stream = read_events_stream(
+            spark, str(ev_dir), "jsonl", max_files_per_trigger=1
+        )
+        hot = hot_key_stream(stream, threshold=2)
+        q = (
+            hot.writeStream.foreachBatch(
+                lambda df, eid: sink.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    w = 0
+    for batch in range(3):  # 3 batches x 3 events = counts 3, 6, 9
+        evs = []
+        for _ in range(3):
+            w += 1
+            evs.append(_ev("U", w, "viral", base + w))
+        _write_segment(ev_dir / f"seg-{batch}.jsonl", evs)
+        run()
+        time.sleep(1.1)
+    reports = sorted(r["total_events"] for r in sink)
+    # first crossing at 3 (>=2), doubling report at 6 (>=2*3); 9 < 2*6 stays quiet
+    assert reports == [3, 6]
