@@ -13,6 +13,9 @@ Subcommands:
   generate   deterministic synthetic WAL segments (seeded)
   bootstrap  initial snapshot load (S3)
   replay     drain the event directory through Structured Streaming
+  publish    drain the event directory to a broker egress (K2-K7; the
+             reference's flagship mode — file transport by default,
+             --webhook-url / --kafka-servers for the others)
   show       table state / snapshots / lineage
 """
 
@@ -69,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--batch-mode", action="store_true",
                    help="single-batch replay (no streaming) — bench fast path")
 
+    pub = sub.add_parser("publish")
+    pub.add_argument("--events-dir", required=True)
+    pub.add_argument("--checkpoint", required=True)
+    pub.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    pub.add_argument("--topic-prefix", default="cdc.")
+    pub.add_argument("--partitions", type=int, default=4)
+    pub.add_argument("--out-dir", default=None, help="file transport root")
+    pub.add_argument("--webhook-url", default=None)
+    pub.add_argument("--kafka-servers", default=None)
+    pub.add_argument("--max-files-per-trigger", type=int, default=None)
+
     s = sub.add_parser("show")
     s.add_argument("--table", required=True)
     s.add_argument("--what", default="state", choices=["state", "snapshots", "lineage"])
@@ -118,6 +132,42 @@ def main(argv: list[str] | None = None) -> int:
         dt = time.time() - t0
         n = int(eng.table.property("cdc.max-lsn", 0))
         print(json.dumps({"sec": round(dt, 2), "last_summary": summary}, default=str))
+
+    elif args.cmd == "publish":
+        from pgoutput2json_spark.sinks import (
+            FileTransport,
+            JsonPublisher,
+            KafkaTransport,
+            PublisherOptions,
+            WebhookTransport,
+        )
+
+        if args.kafka_servers:
+            transport = KafkaTransport(args.kafka_servers)
+        elif args.webhook_url:
+            transport = WebhookTransport(args.webhook_url)
+        elif args.out_dir:
+            transport = FileTransport(args.out_dir)
+        else:
+            p.error("publish needs --out-dir, --webhook-url or --kafka-servers")
+        pub_engine = JsonPublisher(
+            spark,
+            PublisherOptions(
+                events_dir=args.events_dir,
+                checkpoint_dir=args.checkpoint,
+                event_format=args.format,
+                topic_prefix=args.topic_prefix,
+                n_partitions=args.partitions,
+                max_files_per_trigger=args.max_files_per_trigger,
+            ),
+            transport,
+        )
+        t0 = time.time()
+        pub_engine.run_until_drained()
+        print(json.dumps({
+            "sec": round(time.time() - t0, 2),
+            "published_epochs": pub_engine.published_epochs,
+        }))
 
     elif args.cmd == "show":
         from pgoutput2json_spark.lake.table import LakeTable

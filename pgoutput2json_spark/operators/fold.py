@@ -45,10 +45,15 @@ def _ord(prefix: str = "") -> Column:
 
 
 #: batches at or below this many events broadcast their per-key cut table
-#: (distinct keys <= events; ~40 B/key => <= ~200 MB broadcast at the cap).
-#: Larger batches fall back to a shuffle join, where AQE's runtime join
-#: selection + skew-join splitting take over.
+#: without counting it first (distinct keys <= events; ~40 B/key => <= ~200
+#: MB broadcast at the cap)
 BROADCAST_CUTS_MAX_EVENTS = 5_000_000
+#: for larger batches the cuts are counted (one map-side-combined agg) and
+#: broadcast while the KEY count stays under this; only a genuinely huge
+#: keyset falls back to a shuffle join (AQE skew-join handles the rest).
+#: Shuffle-joining the cut costs a full exchange of every event's payload —
+#: on bandwidth-bound hosts that dwarfs the extra counting pass.
+BROADCAST_CUTS_MAX_KEYS = 5_000_000
 
 
 def snapshot_cut(
@@ -58,9 +63,10 @@ def snapshot_cut(
 
     The cuts aggregate is map-side combinable (hot keys collapse to one row
     per map task), so the reduce side never materializes a hot key's event
-    list.  ``n_events_hint`` (known per micro-batch) decides whether the cut
-    table is broadcast (typical micro-batch) or shuffle-joined (huge
-    backfill batches)."""
+    list.  The cut table is broadcast whenever the key count allows —
+    directly for micro-batch sizes (``n_events_hint``), after a cheap count
+    for backfill-size batches — so the event payloads themselves are never
+    exchanged just to be filtered."""
     all_set = F.lit(True)
     for n in field_names:
         all_set = all_set & F.col(f"f_{n}.set")
@@ -70,7 +76,12 @@ def snapshot_cut(
         .agg(F.max(F.when(is_snapshot, _ord())).alias("cut"))
         .filter(F.col("cut").isNotNull())
     )
-    if n_events_hint is not None and n_events_hint <= BROADCAST_CUTS_MAX_EVENTS:
+    if (
+        n_events_hint is None
+        or n_events_hint > BROADCAST_CUTS_MAX_EVENTS
+    ) and cuts.count() > BROADCAST_CUTS_MAX_KEYS:
+        pass  # genuinely huge keyset: shuffle join (AQE skew path)
+    else:
         cuts = F.broadcast(cuts)
     return events.join(cuts, "doc_id", "left").filter(
         F.col("cut").isNull() | (_ord() >= F.col("cut"))

@@ -90,14 +90,21 @@ def parse_events(
     versions: list[tuple[int, RelationSchema]],
     target_fields: list[dict],
     included: tuple | None = None,
+    decode: bool = True,
 ) -> DataFrame:
-    """Parse envelope events into typed per-column (set, val) structs.
+    """Parse envelope events into per-column (set, val) structs.
 
     ``versions``: [(effective_from_lsn, RelationSchema)] ascending; the first
     entry is the base schema (effective_from_lsn = -1).
     ``target_fields``: the table's post-evolution schema
     (``[{"name","type","oid"}]``) — the fold's column universe.
-    """
+
+    ``decode=False`` defers the typed decode: ``val`` stays the raw slot
+    *text* (positional extraction + presence/TOAST flags only — cheap), to
+    be turned into typed values later with :func:`decode_fields`.  The
+    engine uses this to run the expensive decode (token-array split+cast —
+    the profiled hot spot) only on events that SURVIVE the snapshot-cut,
+    instead of on every event in every pass."""
     assert versions and versions[0][0] <= 0
     from pgoutput2json_spark.lake.table import _parse_type
 
@@ -125,17 +132,19 @@ def parse_events(
         )
 
         def build_val(rel: RelationSchema, name=name, dtype=dtype, excluded=excluded):
+            out_t = dtype if decode else T.StringType()
             pos = next((i for i, c in enumerate(rel.columns) if c.name == name), None)
             if pos is None or excluded:
                 return F.struct(
-                    F.lit(False).alias("set"), F.lit(None).cast(dtype).alias("val")
+                    F.lit(False).alias("set"), F.lit(None).cast(out_t).alias("val")
                 )
             raw = F.element_at(F.col("r"), pos + 1)
             present = F.col("r").isNotNull() & (F.size("r") > pos)
             is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
+            payload = _parse_slot(raw, dtype) if decode else raw
             return F.struct(
                 is_set.alias("set"),
-                F.when(is_set, _parse_slot(raw, dtype)).alias("val"),
+                F.when(is_set, payload).alias("val"),
             )
 
         out_cols.append(_per_version(versions, build_val).alias(f"f_{name}"))
@@ -143,11 +152,36 @@ def parse_events(
     return events.select(*out_cols)
 
 
+def decode_fields(df: DataFrame, target_fields: list[dict]) -> DataFrame:
+    """Turn raw-text (set, val) structs (``parse_events(decode=False)``) into
+    typed ones — one JVM projection.  Applied AFTER the snapshot-cut, so the
+    hot token-array decode runs once per surviving event instead of once per
+    raw event per pass (the profiled 10^10-event bottleneck)."""
+    from pgoutput2json_spark.lake.table import _parse_type
+
+    by_name = {f["name"]: _parse_type(f["type"]) for f in target_fields}
+    cols = []
+    for c in df.columns:
+        name = c[2:] if c.startswith("f_") else None
+        if name in by_name:
+            s = F.col(c)
+            cols.append(
+                F.struct(
+                    s["set"].alias("set"),
+                    F.when(s["set"], _parse_slot(s["val"], by_name[name])).alias("val"),
+                ).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
 def parse_default_events(
     events: DataFrame,
     versions: list[tuple[int, RelationSchema]],
     target_fields: list[dict],
     included: tuple | None = None,
+    decode: bool = True,
 ) -> DataFrame:
     """Parse DEFAULT-JsonWriteMode events (``k``/``r`` as {"col": value}
     objects, JsonWriter.cs:208-230) into the same typed (set, val) contract
@@ -183,12 +217,13 @@ def parse_default_events(
     key_names = {n for _, rel in versions for n in rel.key_columns}
     for fdict in target_fields:
         name, dtype = fdict["name"], _parse_type(fdict["type"])
+        out_t = dtype if decode else T.StringType()
         excluded = (
             included is not None and name not in included and name not in key_names
         )
         if excluded:
             col = F.struct(
-                F.lit(False).alias("set"), F.lit(None).cast(dtype).alias("val")
+                F.lit(False).alias("set"), F.lit(None).cast(out_t).alias("val")
             )
         else:
             raw = F.element_at(F.col("r"), F.lit(name))
@@ -198,7 +233,7 @@ def parse_default_events(
             is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
             col = F.struct(
                 is_set.alias("set"),
-                F.when(is_set, _parse_slot(raw, dtype)).alias("val"),
+                F.when(is_set, _parse_slot(raw, dtype) if decode else raw).alias("val"),
             )
         out_cols.append(col.alias(f"f_{name}"))
 

@@ -124,20 +124,28 @@ def topk_gemm(
 # ----------------------------------------------------------------- LSH (SRP)
 
 
+def _srp_plane(j: int, dim: int) -> list[float]:
+    """Hyperplane j's components: md5-derived, uniform in [-1000, 1000] —
+    identical in any engine, no RNG state.  Computed driver-side (they are
+    pure literals; building them as md5() Catalyst constants made the
+    expression tree ~dim*planes md5 subtrees, and plan optimization
+    dominated the query at small scale)."""
+    import hashlib
+
+    def md5l(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [float(md5l(f"srp:{j}:{d}") % 2001 - 1000) for d in range(dim)]
+
+
 def srp_bucket(vec: Column, dim: int, planes: int = 8, seed_offset: int = 0) -> Column:
-    """Sign-random-projection bucket id: bit j = sign(dot(vec, h_j)) with
-    deterministic pseudo-random hyperplane h_j[d] derived from md5(j, d)
-    (uniform in [-1000, 1000]) — identical in any engine, no RNG state.
+    """Sign-random-projection bucket id: bit j = sign(dot(vec, h_j)).
     ``seed_offset`` shifts the plane seeds so LSH bands draw independent
-    hyperplane sets."""
+    hyperplane sets.  One array literal per plane; the dot product stays a
+    JVM fold so engine and SQL oracle agree term-for-term."""
     bucket = F.lit(0).cast("long")
     for j in range(planes):
-        comps = F.array(
-            *[
-                ((md5_long(F.lit(f"srp:{j + seed_offset}:{d}")) % 2001) - 1000).cast("double")
-                for d in range(dim)
-            ]
-        )
+        comps = F.lit(_srp_plane(j + seed_offset, dim))
         d_ = F.aggregate(
             F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
             F.lit(0.0),

@@ -1,3 +1,4 @@
 from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+from pgoutput2json_spark.streaming.monitor import change_rate_stream, hot_key_stream
 
-__all__ = ["CdcEngine", "EngineOptions"]
+__all__ = ["CdcEngine", "EngineOptions", "change_rate_stream", "hot_key_stream"]

@@ -37,7 +37,11 @@ from pgoutput2json_spark.operators.dedup import salted_lww_reduce
 from pgoutput2json_spark.operators.explode import explode_key_updates
 from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
 from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups
-from pgoutput2json_spark.operators.parse import parse_default_events, parse_events
+from pgoutput2json_spark.operators.parse import (
+    decode_fields,
+    parse_default_events,
+    parse_events,
+)
 from pgoutput2json_spark.operators.rowfilter import apply_row_filter
 from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema
 from pgoutput2json_spark.sources.events import read_events, read_events_stream
@@ -84,10 +88,12 @@ class EngineOptions:
     compact_every: int = 0
     compact_max_files: int = 8
     expire_keep_last: int = 4
-    #: cache the raw event batch across the engine's passes.  True is right
-    #: for jsonl (expensive to re-parse); for columnar (parquet) segments the
-    #: pruned re-reads are cheaper than building a full-row cache.
-    cache_events: bool = True
+    #: cache the raw event batch across the engine's passes.  None = auto:
+    #: True for jsonl (expensive to re-parse), False for columnar (parquet)
+    #: segments, where the pruned column re-reads are far cheaper than
+    #: materializing a full-row cache (measured 3.7x at 8M events/batch:
+    #: 290k vs 79k events/s on local[32])
+    cache_events: bool | None = None
 
     def __post_init__(self) -> None:
         # M2 builder validation (PgOutput2JsonBuilder.cs:126-163 precedent)
@@ -179,9 +185,14 @@ class CdcEngine:
         ):
             return {"skipped": True, "epoch": epoch_id}
 
+        cache_events = (
+            opts.cache_events
+            if opts.cache_events is not None
+            else opts.event_format == "jsonl"
+        )
         if opts.table_filter:
             events = events.filter(F.col("t") == opts.table_filter)
-        if opts.cache_events:
+        if cache_events:
             events = events.persist()
         try:
             committed = table.committed_lsn()
@@ -224,8 +235,18 @@ class CdcEngine:
             parse_fn = (
                 parse_default_events if opts.json_mode == "default" else parse_events
             )
+            # Deferred decode: extract positions/flags cheaply now and decode
+            # typed values (the token-array split — the profiled hot spot)
+            # only AFTER the snapshot-cut discards superseded events.  A row
+            # filter evaluates typed values per event, so it forces the
+            # eager path.
+            deferred = opts.row_filter is None
             parsed = parse_fn(
-                events, versions, fields, included=opts.included_columns
+                events,
+                versions,
+                fields,
+                included=opts.included_columns,
+                decode=not deferred,
             )
             if opts.row_filter:
                 parsed = apply_row_filter(parsed, field_names, opts.row_filter)
@@ -245,9 +266,13 @@ class CdcEngine:
 
             flat = explode_key_updates(parsed, field_names)
             if opts.apply_mode == "lww":
+                if deferred:
+                    flat = decode_fields(flat, fields)
                 grouped = salted_lww_reduce(flat, field_names).persist()
             else:
                 flat = snapshot_cut(flat, field_names, n_events_hint=n_events)
+                if deferred:
+                    flat = decode_fields(flat, fields)
                 grouped = group_events(flat, field_names).persist()
 
             # ONE pass over the grouped batch yields BOTH the touched-bucket
@@ -339,7 +364,7 @@ class CdcEngine:
                 opts.post_commit_hook(summary)
             return summary
         finally:
-            if opts.cache_events:
+            if cache_events:
                 events.unpersist()
 
     #: lineage file schema (M1) — stable across rounds

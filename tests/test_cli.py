@@ -1,0 +1,53 @@
+"""CLI (M2) smoke: generate -> publish (file transport) via spark-submit-style
+invocation in subprocesses (each CLI run owns its SparkSession)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*argv: str) -> str:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, "-m", "pgoutput2json_spark.cli", "--master", "local[4]", *argv],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    return p.stdout
+
+
+def test_cli_generate_then_publish(tmp_path):
+    out = _run(
+        "generate",
+        "--events-dir", str(tmp_path / "ev"),
+        "--n-events", "2000",
+        "--n-keys", "200",
+        "--n-files", "3",
+    )
+    assert json.loads(out.strip().splitlines()[-1])["generated"] == 2000
+
+    out = _run(
+        "publish",
+        "--events-dir", str(tmp_path / "ev"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--out-dir", str(tmp_path / "broker"),
+        "--partitions", "2",
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["published_epochs"] == [0]
+    root = tmp_path / "broker" / "epoch=0" / "topic=cdc.public.docs"
+    parts = sorted(os.listdir(root))
+    assert parts == ["partition=0", "partition=1"]
+    n = 0
+    for part in parts:
+        for f in os.listdir(root / part):
+            if f.startswith("part-"):
+                with open(root / part / f) as fh:
+                    n += sum(1 for _ in fh)
+    assert n == 2000

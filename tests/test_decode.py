@@ -165,3 +165,28 @@ def test_number_array_deep_nesting(spark):
     assert out[4] == [9, 10, 11, None]
     assert out[5] == []
     assert out[6] is None
+
+
+def test_deferred_decode_equals_eager(spark):
+    """parse(decode=False) + decode_fields == parse(decode=True), row for row
+    (incl. TOAST sentinels, short pre-evolution rows, nulls)."""
+    from pgoutput2json_spark.operators.parse import decode_fields, parse_events
+    from pgoutput2json_spark.schema import DOCS_RELATION
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+    )
+
+    events = generate_events(
+        spark, GeneratorSpec(n_events=4_000, n_keys=400, seed=11, evolve_at=3_000)
+    )
+    versions = [(-1, DOCS_RELATION)]
+    fields = [
+        {"name": c.name, "type": c.spark_type.simpleString(), "oid": c.oid}
+        for c in DOCS_RELATION.columns
+    ]
+    eager = parse_events(events, versions, fields)
+    lazy = decode_fields(parse_events(events, versions, fields, decode=False), fields)
+    assert eager.schema.simpleString() == lazy.schema.simpleString()
+    assert eager.exceptAll(lazy).count() == 0
+    assert lazy.exceptAll(eager).count() == 0
