@@ -816,6 +816,33 @@ FROM ranked
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/phone-like/IPv4/card-like) with per-kind
+    match counts — map-only regexp chain, zero shuffle."""
+    return tx.pii_scrub(_docs(spark, sf_dir))
+
+
+def _sql_pii_scrub() -> str:
+    from pgoutput2json_spark.pipeline.text import PII_PATTERNS
+
+    prev, ctes, count_cols = "documents", [], []
+    for i, (kind, pat, repl) in enumerate(PII_PATTERNS):
+        carried = ", ".join(f"n_{k}" for k, _, _ in PII_PATTERNS[:i])
+        carried = carried + ", " if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS n_{kind}, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS text "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+        count_cols.append(f"n_{kind}")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {', '.join(count_cols)}, text AS text_scrubbed FROM {prev}"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_features(_docs(spark, sf_dir))
 
@@ -1168,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
+        "text_pii_scrub": q_text_pii_scrub,
         "text_tokens": q_text_tokens,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_media": q_multimodal_media,
@@ -1205,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_srp_neardup(dim=64, planes=8, bands=3, threshold=0.25),
         "text_langid": _sql_langid(),
         "text_quality": _sql_quality(),
+        "text_pii_scrub": _sql_pii_scrub(),
         "text_tokens": SQL_TEXT_TOKENS,
         "doc_fingerprint": SQL_FINGERPRINT,
         "multimodal_media": SQL_MULTIMODAL_MEDIA,

@@ -54,6 +54,7 @@ PIPELINE_QUERIES = [
     "embedding_neardup",
     "text_langid",
     "text_quality",
+    "text_pii_scrub",
     "doc_fingerprint",
     "multimodal_image_features",
     "token_transforms",

@@ -92,6 +92,40 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+#: PII patterns (regex-dialect-neutral: character classes + bounded
+#: repetition only, so Spark (Java regex) and the DuckDB oracle (RE2) agree)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[ .-][0-9]{3}[ .-][0-9]{3,4}[ .-]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("card", r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}", "<CARD>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII shapes (emails, phone-like, IPv4, card-like) —
+    the standard pre-training scrub pass.  Pure Catalyst ``regexp_replace``
+    chain (one projection, whole-stage codegen); per-kind match counts are
+    emitted so downstream filters can drop PII-dense documents.
+
+    Patterns are deliberately conservative/shape-based (no checksum
+    validation — that would need a Python UDF); at 100 TB this runs as a
+    map-only pass with zero shuffle."""
+    t = F.col(text_col)
+    counts = []
+    scrubbed = t
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.coalesce(
+                F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))), F.lit(0)
+            ).alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(F.col(id_col), *counts, scrubbed.alias("text_scrubbed"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full content md5 + a 60-bit integer fingerprint
     (usable as a dedup/shard key) + first-8-word prefix hash (header

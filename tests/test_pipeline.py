@@ -173,3 +173,22 @@ def test_pack_sequences_invariants(spark):
     again = {r["pack_id"]: r["tokens"] for r in
              pack_sequences(docs, window=64, eos=-1, packers=4).collect()}
     assert {r["pack_id"]: r["tokens"] for r in out} == again
+
+
+def test_pii_scrub_kinds(spark):
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk please"),
+        (2, "call +1 555 123 4567 or 555 123 4567"),
+        (3, "server at 10.0.255.1 responded"),
+        (4, "card 4111 1111 1111 1111 declined"),
+        (5, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "jane" not in out[1]["text_scrubbed"]
+    assert out[2]["n_phone"] == 2 and out[2]["text_scrubbed"].count("<PHONE>") == 2
+    assert out[3]["n_ipv4"] == 1 and "<IP>" in out[3]["text_scrubbed"]
+    assert out[4]["n_card"] == 1 and "<CARD>" in out[4]["text_scrubbed"]
+    assert out[5]["text_scrubbed"] == "nothing sensitive here"
+    assert all(out[5][f"n_{k}"] == 0 for k in ("email", "phone", "ipv4", "card"))
