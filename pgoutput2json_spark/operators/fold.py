@@ -71,9 +71,14 @@ def snapshot_cut(
     for n in field_names:
         all_set = all_set & F.col(f"f_{n}.set")
     is_snapshot = (F.col("op") == "D") | ((F.col("op") == "U") & all_set)
+    # (lsn, sub) encoded as one long: max(struct) falls back to a
+    # SortAggregate (sort+exchange+sort over every event); max(long) is a
+    # plain HashAggregate with map-side partial combine.  sub is one bit
+    # (key-update explode), so lsn*2+sub preserves the total order.
+    ord_long = F.col("lsn") * 2 + F.col("sub")
     cuts = (
         events.groupBy("doc_id")
-        .agg(F.max(F.when(is_snapshot, _ord())).alias("cut"))
+        .agg(F.max(F.when(is_snapshot, ord_long)).alias("cut"))
         .filter(F.col("cut").isNotNull())
     )
     if (
@@ -84,7 +89,7 @@ def snapshot_cut(
     else:
         cuts = F.broadcast(cuts)
     return events.join(cuts, "doc_id", "left").filter(
-        F.col("cut").isNull() | (_ord() >= F.col("cut"))
+        F.col("cut").isNull() | (ord_long >= F.col("cut"))
     ).drop("cut")
 
 
