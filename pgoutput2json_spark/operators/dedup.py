@@ -35,9 +35,14 @@ def salted_lww_reduce(
         F.col("op"),
         F.struct(*[F.col(f"f_{n}").alias(n) for n in field_names]).alias("v"),
     )
+    # max_by on the long-encoded (lsn, sub) order: max(struct) would fall
+    # back to a SortAggregate; max_by hash-aggregates (same trick as the
+    # snapshot-cut in fold.py)
+    ord_long = F.col("lsn") * 2 + F.col("sub")
     salted = events.withColumn("__salt", F.pmod(F.xxhash64("lsn"), F.lit(salt)))
     phase1 = salted.groupBy("doc_id", "__salt").agg(
-        F.max(ev).alias("win"),
+        F.max_by(ev, ord_long).alias("win"),
+        F.max(ord_long).alias("__ord"),
         F.count(F.lit(1)).alias("n_events"),
         F.min("lsn").alias("min_lsn"),
         F.max("lsn").alias("max_lsn"),
@@ -46,7 +51,7 @@ def salted_lww_reduce(
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
     )
     return phase1.groupBy("doc_id").agg(
-        F.array(F.max("win")).alias("evs"),
+        F.array(F.max_by(F.col("win"), F.col("__ord"))).alias("evs"),
         F.sum("n_events").alias("n_events"),
         F.min("min_lsn").alias("min_lsn"),
         F.max("max_lsn").alias("max_lsn"),
