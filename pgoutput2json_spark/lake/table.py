@@ -46,6 +46,10 @@ Snapshot JSON::
      "bucket_column": "doc_id", "bucket_count": 16,
      "files": {"0": ["data/.../part-x.parquet", ...], ...},
      "deltas": {"0": ["data/d.../part-y.parquet", ...], ...},  # MoR logs
+     "rows": {"0": 1234, ...},  # base-file row counts per bucket, read from
+                                # the parquet footers at commit time (the
+                                # Iceberg per-file record_count analogue) —
+                                # drives the merge_mode='auto' decision
      "summary": {...},        # this commit's properties
      "properties": {...}}     # cumulative table properties
 """
@@ -107,6 +111,7 @@ class LakeTable:
             "key_columns": list(key_columns or [bucket_column]),
             "files": {},
             "deltas": {},
+            "rows": {},
             "summary": {"operation": "create"},
             "properties": dict(properties or {}),
             "timestamp_ms": int(time.time() * 1000),
@@ -250,6 +255,7 @@ class LakeTable:
             "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": cur["files"],
             "deltas": cur.get("deltas", {}),
+            "rows": cur.get("rows", {}),
             "summary": {"operation": "evolve", **(summary or {})},
             "properties": cur["properties"],
             "timestamp_ms": int(time.time() * 1000),
@@ -361,6 +367,33 @@ class LakeTable:
             prefix="d",
         )
 
+    def _rows_of(self, files: dict[str, list[str]]) -> dict[str, int]:
+        """Per-bucket row counts from the parquet footers — driver-side
+        metadata reads only (footer, not data), a few files per commit.
+        Iceberg tracks the same ``record_count`` per data file in its
+        manifests; we keep it per bucket in the snapshot."""
+        import pyarrow.parquet as pq
+
+        return {
+            str(b): sum(
+                pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
+                for f in fl
+            )
+            for b, fl in files.items()
+            if fl
+        }
+
+    def approx_base_rows(self) -> int | None:
+        """Total base-file rows of the current snapshot (merge-on-read delta
+        logs excluded — they are bounded by auto-compaction, so this tracks
+        table cardinality to within a few epochs' churn).  ``None`` when the
+        snapshot predates row tracking."""
+        snap = self.snapshot()
+        rows = snap.get("rows")
+        if rows is None:
+            return None if snap["files"] else 0
+        return sum(int(n) for n in rows.values())
+
     def commit_replace_buckets(
         self,
         new_files: dict[str, list[str]],
@@ -392,13 +425,18 @@ class LakeTable:
         deltas = {} if truncate_all else {
             b: list(fl) for b, fl in cur.get("deltas", {}).items()
         }
+        rows = {} if truncate_all else dict(cur.get("rows", {}))
         for b in map(str, replaced_buckets):
             files.pop(b, None)
+            rows.pop(b, None)
             if clear_deltas:
                 deltas.pop(b, None)
         for b, fl in new_files.items():
             if fl:
                 files[str(b)] = fl
+        # footer counts cover the buckets' FULL new file lists (append passes
+        # old+new merged), so per-bucket totals stay exact under both paths
+        rows.update(self._rows_of({b: fl for b, fl in new_files.items()}))
         props = dict(cur["properties"])
         props.update(properties or {})
         snap = {
@@ -410,6 +448,7 @@ class LakeTable:
             "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": files,
             "deltas": deltas,
+            "rows": rows,
             "summary": dict(summary or {}),
             "properties": props,
             "timestamp_ms": int(time.time() * 1000),
@@ -449,6 +488,7 @@ class LakeTable:
             "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": dict(cur["files"]),
             "deltas": deltas,
+            "rows": dict(cur.get("rows", {})),
             "summary": dict(summary or {}),
             "properties": props,
             "timestamp_ms": int(time.time() * 1000),

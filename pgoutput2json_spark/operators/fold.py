@@ -57,7 +57,10 @@ BROADCAST_CUTS_MAX_KEYS = 5_000_000
 
 
 def snapshot_cut(
-    events: DataFrame, field_names: list[str], n_events_hint: int | None = None
+    events: DataFrame,
+    field_names: list[str],
+    n_events_hint: int | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Drop every event strictly older than its key's last snapshot event.
 
@@ -81,11 +84,17 @@ def snapshot_cut(
         .agg(F.max(F.when(is_snapshot, ord_long)).alias("cut"))
         .filter(F.col("cut").isNotNull())
     )
-    if (
-        n_events_hint is None
-        or n_events_hint > BROADCAST_CUTS_MAX_EVENTS
-    ) and cuts.count() > BROADCAST_CUTS_MAX_KEYS:
-        pass  # genuinely huge keyset: shuffle join (AQE skew path)
+    if n_events_hint is None or n_events_hint > BROADCAST_CUTS_MAX_EVENTS:
+        # the count decides broadcast-vs-shuffle; persist so the cuts
+        # aggregation (and the whole upstream parse) runs ONCE — the count
+        # materializes the cache, the join build reads it back.  The caller
+        # unpersists via ``persist_registry`` after its terminal actions.
+        cuts = cuts.persist()
+        if persist_registry is not None:
+            persist_registry.append(cuts)
+        if cuts.count() <= BROADCAST_CUTS_MAX_KEYS:
+            cuts = F.broadcast(cuts)
+        # else: genuinely huge keyset -> shuffle join (AQE skew path)
     else:
         cuts = F.broadcast(cuts)
     return events.join(cuts, "doc_id", "left").filter(

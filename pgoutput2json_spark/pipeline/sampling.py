@@ -68,7 +68,10 @@ def pack_sequences(
     packers = packers or 64
     routed = (
         docs.select(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(packers)).alias("pk"),
+            # md5-based routing (not xxhash64): engine-portable, so the
+            # whole greedy fold is reproducible in the DuckDB oracle
+            # (recursive CTE) — same property hash_sample relies on
+            F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(packers)).alias("pk"),
             F.col(id_col).cast("string").alias("id"),
             F.col(tokens_col).alias("toks"),
         )

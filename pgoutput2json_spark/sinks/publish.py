@@ -99,22 +99,62 @@ def _ordered(rows: DataFrame) -> DataFrame:
 
 class FileTransport:
     """Topic directories of partition-split JSONL files; each epoch is one
-    atomically renamed directory so replays are no-ops (exactly-once)."""
+    atomically renamed directory so replays are no-ops (exactly-once).
+
+    **Epoch markers are run-scoped**: streaming epoch ids are only meaningful
+    within one checkpoint lifetime (the engine guards the same invariant with
+    ``cdc.run-id``).  The publisher binds its checkpoint's run id via
+    :meth:`bind_run`; each epoch directory records the run that wrote it, and
+    ``committed_epoch`` only counts THIS run's epochs.  Pointing a fresh
+    checkpoint at an existing transport root therefore *republishes* (at-
+    least-once, consumers dedupe on ``w``) instead of silently dropping
+    batches whose restarted epoch ids collide with old ones."""
 
     def __init__(self, root: str):
         self.root = root
+        self._rid: str | None = None
         os.makedirs(root, exist_ok=True)
+
+    def bind_run(self, run_id: str) -> None:
+        """Scope subsequent commits/queries to this checkpoint lineage."""
+        self._rid = run_id
+        p = os.path.join(self.root, "_run_id")
+        with open(p, "w") as f:
+            f.write(run_id)
+
+    def _epoch_dirs(self) -> list[tuple[int, str]]:
+        out = []
+        for d in os.listdir(self.root):
+            if not d.startswith("epoch="):
+                continue
+            num = d.split("=", 1)[1].split("-", 1)[0]
+            out.append((int(num), os.path.join(self.root, d)))
+        return out
+
+    def _dir_run(self, path: str) -> str | None:
+        p = os.path.join(path, "_run")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
 
     def committed_epoch(self) -> int:
         done = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.root)
-            if d.startswith("epoch=")
+            e
+            for e, path in self._epoch_dirs()
+            if self._rid is None or self._dir_run(path) == self._rid
         ]
         return max(done, default=-1)
 
     def publish(self, rows: DataFrame, epoch: int) -> None:
         final = os.path.join(self.root, f"epoch={epoch}")
+        if os.path.exists(final):
+            # an epoch of a previous run lineage holds the plain name; this
+            # run's epochs get a run-suffixed directory (read_topic globs
+            # epoch=* so consumers see both)
+            final = os.path.join(
+                self.root, f"epoch={epoch}-{(self._rid or 'x')[:8]}"
+            )
         staging = os.path.join(self.root, f".staging-{epoch}")
         (
             _ordered(rows)
@@ -123,6 +163,9 @@ class FileTransport:
             .partitionBy("topic", "partition")
             .text(staging)
         )
+        if self._rid is not None:
+            with open(os.path.join(staging, "_run"), "w") as f:
+                f.write(self._rid)
         os.rename(staging, final)  # atomic commit of the whole epoch
 
     def read_topic(self, spark, topic: str) -> DataFrame:
@@ -134,46 +177,109 @@ class FileTransport:
 
 
 class WebhookTransport:
-    """POST one batch per (topic, partition) group per epoch, LSN-ordered,
-    executor-side (reference WebhookPublisher).  Body = newline-joined JSON
-    events; topic/partition/epoch travel as headers.  At-least-once: a retry
-    after a mid-epoch crash re-POSTs the epoch; consumers dedupe on ``w``
-    exactly like the engine's D2 watermark."""
+    """POST LSN-ordered, size-bounded batches per (topic, partition) group
+    per epoch, executor-side (reference WebhookPublisher.cs:90-304).
 
-    def __init__(self, url: str, timeout_sec: float = 10.0):
+    - **Chunking**: each group is split into POSTs of at most
+      ``max_batch_bytes`` (an epoch-sized group never materializes as one
+      giant in-memory body); LSN order holds within and across chunks.
+    - **Signing** (WebhookPublisherOptions.cs:39-44): with a ``secret``,
+      each POST carries Standard-Webhooks headers — ``webhook-id`` =
+      ``{firstLSN}_{lastLSN}`` of the chunk, ``webhook-timestamp``, and
+      ``webhook-signature: v1,<base64 HMAC-SHA256(id.timestamp.body)>`` —
+      so receivers can authenticate and dedupe.
+    - **Retry ladder** (WebhookPublisher.cs:63-65): transient failures
+      back off ``retry_backoff`` seconds (default 2/4/8) before the POST
+      is re-attempted; exhausted retries fail the task (Spark retries the
+      partition — at-least-once, consumers dedupe on ``w``/webhook-id
+      exactly like the engine's D2 watermark)."""
+
+    def __init__(
+        self,
+        url: str,
+        timeout_sec: float = 10.0,
+        secret: str | None = None,
+        max_batch_bytes: int = 1 << 20,
+        retry_backoff: tuple = (2.0, 4.0, 8.0),
+    ):
         self.url = url
         self.timeout_sec = timeout_sec
+        self.secret = secret
+        self.max_batch_bytes = int(max_batch_bytes)
+        self.retry_backoff = tuple(retry_backoff)
 
     def committed_epoch(self) -> int:
         return -1  # the remote end owns dedup state (at-least-once)
 
     def publish(self, rows: DataFrame, epoch: int) -> None:
         url, timeout = self.url, self.timeout_sec
+        secret, max_bytes = self.secret, self.max_batch_bytes
+        backoff = self.retry_backoff
+
+        def post_chunk(topic, part, lines, first_w, last_w):
+            import base64
+            import hashlib
+            import hmac as hmac_mod
+            import time as time_mod
+            import urllib.request
+
+            body = "\n".join(lines).encode()
+            headers = {
+                "Content-Type": "application/x-ndjson",
+                "X-Cdc-Topic": topic,
+                "X-Cdc-Partition": str(part),
+                "X-Cdc-Epoch": str(epoch),
+                "webhook-id": f"{first_w}_{last_w}",
+            }
+            if secret is not None:
+                ts = str(int(time_mod.time()))
+                signed = f"{headers['webhook-id']}.{ts}.".encode() + body
+                sig = base64.b64encode(
+                    hmac_mod.new(secret.encode(), signed, hashlib.sha256).digest()
+                ).decode()
+                headers["webhook-timestamp"] = ts
+                headers["webhook-signature"] = f"v1,{sig}"
+            last_err = None
+            for attempt in range(len(backoff) + 1):
+                if attempt:
+                    time_mod.sleep(backoff[attempt - 1])
+                try:
+                    req = urllib.request.Request(
+                        url, data=body, headers=headers, method="POST"
+                    )
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        if resp.status < 300:
+                            return
+                        last_err = RuntimeError(
+                            f"webhook {resp.status} for {topic}/{part}"
+                        )
+                except Exception as e:  # noqa: BLE001 — retry ladder
+                    last_err = e
+            raise last_err
 
         def post_partition(it):
             import itertools
-            import urllib.request
 
             for (topic, part), grp in itertools.groupby(
                 it, key=lambda r: (r["topic"], r["partition"])
             ):
-                body = "\n".join(r["value"] for r in grp).encode()
-                req = urllib.request.Request(
-                    url,
-                    data=body,
-                    headers={
-                        "Content-Type": "application/x-ndjson",
-                        "X-Cdc-Topic": topic,
-                        "X-Cdc-Partition": str(part),
-                        "X-Cdc-Epoch": str(epoch),
-                    },
-                    method="POST",
-                )
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    if resp.status >= 300:
-                        raise RuntimeError(f"webhook {resp.status} for {topic}/{part}")
+                lines: list = []
+                nbytes = 0
+                first_w = last_w = None
+                for r in grp:
+                    v = r["value"]
+                    if lines and nbytes + len(v) + 1 > max_bytes:
+                        post_chunk(topic, part, lines, first_w, last_w)
+                        lines, nbytes, first_w = [], 0, None
+                    lines.append(v)
+                    nbytes += len(v) + 1
+                    if first_w is None:
+                        first_w = r["w"]
+                    last_w = r["w"]
+                if lines:
+                    post_chunk(topic, part, lines, first_w, last_w)
 
-        _ordered(rows).select("topic", "partition", "value").foreachPartition(
+        _ordered(rows).select("topic", "partition", "value", "w").foreachPartition(
             post_partition
         )
 
@@ -227,22 +333,61 @@ class PublisherOptions:
     #: the filter is over the envelope (t, c, w)
     envelope_filter: str | None = None
 
+    def __post_init__(self) -> None:
+        if self.event_format not in ("jsonl", "parquet"):
+            raise ValueError(
+                f"event_format must be jsonl|parquet, got {self.event_format!r}"
+            )
+        if self.json_mode != "compact":
+            # route_events keys off the compact positional k/r arrays; the
+            # default {"col": value} wire mode has no egress path yet —
+            # fail at construction, not with an analysis error mid-stream
+            raise ValueError(
+                "publisher egress supports json_mode='compact' only "
+                f"(got {self.json_mode!r})"
+            )
+        if int(self.n_partitions) <= 0:
+            raise ValueError("n_partitions must be positive")
+        if not self.events_dir or not self.checkpoint_dir:
+            raise ValueError("events_dir and checkpoint_dir are required")
+
 
 class JsonPublisher:
     """The reference's flagship shape — tail the change stream, publish
     routed JSON — as a Structured Streaming job.  Epochs whose id is <= the
     transport's committed epoch are skipped (exactly-once for transports
     with durable commit, e.g. FileTransport; at-least-once otherwise, with
-    consumer-side w dedup like the engine's D2)."""
+    consumer-side w dedup like the engine's D2).
+
+    Epoch ids are only trusted within one checkpoint lifetime: the
+    publisher stamps its checkpoint's run id into the transport
+    (``bind_run``), mirroring the engine's ``cdc.run-id`` guard — a fresh
+    checkpoint pointed at an existing transport root republishes instead of
+    silently skipping batches whose restarted epoch ids collide."""
 
     def __init__(self, spark, opts: PublisherOptions, transport):
         self.spark = spark
         self.opts = opts
         self.transport = transport
+        bind = getattr(transport, "bind_run", None)
+        if bind is not None:
+            bind(self._run_id())
         #: newest relation seen so far (starts at the base relation; updated
         #: from relation messages, mirroring the engine's cdc.relation)
         self._base: RelationSchema | None = None
         self.published_epochs: list[int] = []
+
+    def _run_id(self) -> str:
+        """Stable id per checkpoint lineage (same file the engine uses)."""
+        import uuid
+
+        os.makedirs(self.opts.checkpoint_dir, exist_ok=True)
+        p = os.path.join(self.opts.checkpoint_dir, "_cdc_run_id")
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(uuid.uuid4().hex)
+        with open(p) as f:
+            return f.read().strip()
 
     def _versions(self, events: DataFrame) -> list:
         from pgoutput2json_spark.schema import DOCS_RELATION

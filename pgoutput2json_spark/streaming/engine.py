@@ -65,13 +65,17 @@ class EngineOptions:
     #: 'lww'   = salted two-phase last-writer-wins max_by (operators/dedup.py)
     #:           — faster, correct for full-row upsert streams
     apply_mode: str = "exact"
-    #: 'cow' = copy-on-write: rewrite touched buckets per epoch (fewest files,
-    #:         read-optimal);
-    #: 'mor' = merge-on-read: append per-key folded delta files + tombstones
-    #:         (commit_append_deltas) — bytes written per epoch proportional
-    #:         to the BATCH, not the table; the 10^10-event default.  Delta
-    #:         logs are folded on read and compacted by auto-maintenance.
-    merge_mode: str = "cow"
+    #: 'auto' (default) = merge-on-read while the batch's key count is small
+    #:         relative to the table's base rows (the steady-state CDC shape
+    #:         at 10^10 events), copy-on-write when the batch rewrites a big
+    #:         fraction anyway (bootstrap, backfill, truncate — where the
+    #:         rewrite is the read-optimal choice);
+    #: 'cow'  = always copy-on-write: rewrite touched buckets per epoch;
+    #: 'mor'  = always merge-on-read: append per-key folded delta files +
+    #:         tombstones (commit_append_deltas) — bytes written per epoch
+    #:         proportional to the BATCH, not the table.  Delta logs are
+    #:         folded on read and bounded by auto-compaction.
+    merge_mode: str = "auto"
     #: P1 column allow-list (reference IncludedColumns, JsonWriter.cs:185-188):
     #: excluded columns are never set by events (inserts leave them null)
     included_columns: tuple | None = None
@@ -84,8 +88,11 @@ class EngineOptions:
     post_commit_hook: object | None = None
     #: auto-maintenance: every N apply epochs, compact buckets whose file
     #: count exceeds the threshold and GC files orphaned by CoW merges
-    #: (0 = disabled).  At 10^10-event scale this runs as a side job.
-    compact_every: int = 0
+    #: (0 = disabled).  Non-zero by default so merge-on-read delta logs are
+    #: bounded out of the box (read cost stays O(base + few epochs), see
+    #: BENCH/BASELINE.md read-amp table).  At 10^10-event scale this runs
+    #: as a side job.
+    compact_every: int = 8
     compact_max_files: int = 8
     expire_keep_last: int = 4
     #: cache the raw event batch across the engine's passes.  None = auto:
@@ -101,8 +108,10 @@ class EngineOptions:
             raise ValueError(f"event_format must be jsonl|parquet, got {self.event_format!r}")
         if self.apply_mode not in ("exact", "lww"):
             raise ValueError(f"apply_mode must be exact|lww, got {self.apply_mode!r}")
-        if self.merge_mode not in ("cow", "mor"):
-            raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
+        if self.merge_mode not in ("auto", "cow", "mor"):
+            raise ValueError(
+                f"merge_mode must be auto|cow|mor, got {self.merge_mode!r}"
+            )
         if self.json_mode not in ("compact", "default"):
             raise ValueError(f"json_mode must be compact|default, got {self.json_mode!r}")
         if self.json_mode == "default" and self.event_format != "jsonl":
@@ -113,6 +122,15 @@ class EngineOptions:
             raise ValueError("max_files_per_trigger must be positive")
         if not self.table_root or not self.events_dir or not self.checkpoint_dir:
             raise ValueError("table_root, events_dir and checkpoint_dir are required")
+
+
+#: merge_mode='auto': a batch touching >= this fraction of the table's base
+#: rows takes the copy-on-write path (with hashed keys it touches every
+#: bucket anyway, so the rewrite cost is ~the same as the delta write PLUS
+#: the table stays read-optimal); below it, merge-on-read wins — per-epoch
+#: bytes written are proportional to the batch, not the table (the engine's
+#: own writeamp bench: 7-150x less write amplification at steady state).
+_MOR_AUTO_FRACTION = 0.25
 
 
 def _relation_fields(rel: RelationSchema) -> list[dict]:
@@ -265,12 +283,14 @@ class CdcEngine:
                 parsed = parsed.filter(F.col("op") != "T")
 
             flat = explode_key_updates(parsed, field_names)
+            persisted: list = []
             if opts.apply_mode == "lww":
                 if deferred:
                     flat = decode_fields(flat, fields)
                 grouped = salted_lww_reduce(flat, field_names).persist()
             else:
-                flat = snapshot_cut(flat, field_names, n_events_hint=n_events)
+                flat = snapshot_cut(flat, field_names, n_events_hint=n_events,
+                                    persist_registry=persisted)
                 if deferred:
                     flat = decode_fields(flat, fields)
                 grouped = group_events(flat, field_names).persist()
@@ -300,8 +320,23 @@ class CdcEngine:
                 else table.read(buckets)
             )
 
-            # A truncate epoch rewrites the table anyway -> CoW path for it
-            use_mor = opts.merge_mode == "mor" and not truncating
+            # A truncate epoch rewrites the table anyway -> CoW path for it.
+            # 'auto': MoR while the batch's keyset is small vs the table's
+            # base rows (steady-state CDC); CoW when the batch rewrites a
+            # large fraction anyway (bootstrap/backfill epochs) — both
+            # inputs are already in hand (lineage_rows; snapshot metadata),
+            # so the decision costs no extra job.
+            if truncating:
+                use_mor = False
+            elif opts.merge_mode == "auto":
+                base_rows = table.approx_base_rows()
+                batch_keys = sum(int(r["n_keys"]) for r in lineage_rows)
+                use_mor = (
+                    base_rows is not None
+                    and batch_keys < _MOR_AUTO_FRACTION * base_rows
+                )
+            else:
+                use_mor = opts.merge_mode == "mor"
             obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
             expected_version = table.current_version()
             if use_mor:
@@ -316,6 +351,8 @@ class CdcEngine:
             if opts.emit_lineage:
                 lineage_path = self._write_lineage(lineage_rows, epoch_id)
             grouped.unpersist()
+            for df_p in persisted:
+                df_p.unpersist()
 
             summary = {
                 "operation": "cdc-apply",

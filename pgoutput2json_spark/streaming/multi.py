@@ -38,7 +38,7 @@ class MultiTableOptions:
     max_files_per_trigger: int | None = None
     emit_lineage: bool = True
     apply_mode: str = "exact"
-    merge_mode: str = "cow"
+    merge_mode: str = "auto"
     #: per-table applies are independent Spark jobs (disjoint LakeTables);
     #: submit up to this many concurrently from the driver — Spark's
     #: scheduler interleaves their stages, so a publication with many small

@@ -112,21 +112,53 @@ def test_file_transport_roundtrip_reproduces_table(spark, wal, tmp_path):
 
 
 def test_file_transport_epoch_replay_is_noop(spark, wal, tmp_path):
-    ft = FileTransport(str(tmp_path / "broker"))
+    """A publisher restart (same checkpoint lineage) replays epoch 0 ->
+    skipped, no duplicate lines."""
+    root, ckpt = str(tmp_path / "broker"), str(tmp_path / "ckpt")
     ev = read_events(spark, f"{wal}/events", "jsonl").limit(50)
-    routed = route_events(ev, [(-1, DOCS_RELATION)], "cdc.", 2)
-    ft.publish(routed, 0)
-    assert ft.committed_epoch() == 0
-    # a publisher restart replays epoch 0 -> skipped, no duplicate lines
-    pub = JsonPublisher(
+    opts = PublisherOptions(events_dir=f"{wal}/events", checkpoint_dir=ckpt)
+    pub_a = JsonPublisher(spark, opts, FileTransport(root))
+    pub_a.apply_batch(ev, 0)
+    assert pub_a.transport.committed_epoch() == 0
+    n_before = pub_a.transport.read_topic(spark, "cdc.public.docs").count()
+
+    pub_b = JsonPublisher(spark, opts, FileTransport(root))  # restart
+    pub_b.apply_batch(ev, 0)
+    assert pub_b.transport.read_topic(spark, "cdc.public.docs").count() == n_before
+    assert pub_b.published_epochs == []
+
+
+def test_fresh_checkpoint_republishes_instead_of_silent_drop(spark, wal, tmp_path):
+    """Pointing a FRESH checkpoint at an existing transport root must not
+    trust the old run's epoch markers: restarted epoch ids collide with old
+    ones and a naive skip silently drops real batches.  Run-scoped markers
+    make the new run republish (at-least-once; consumers dedupe on w)."""
+    root = str(tmp_path / "broker")
+    ev = read_events(spark, f"{wal}/events", "jsonl").limit(50)
+    pub_a = JsonPublisher(
         spark,
-        PublisherOptions(events_dir=f"{wal}/events", checkpoint_dir="unused"),
-        ft,
+        PublisherOptions(events_dir=f"{wal}/events",
+                         checkpoint_dir=str(tmp_path / "ckpt-a")),
+        FileTransport(root),
     )
-    n_before = ft.read_topic(spark, "cdc.public.docs").count()
-    pub.apply_batch(ev, 0)
-    assert ft.read_topic(spark, "cdc.public.docs").count() == n_before
-    assert pub.published_epochs == []
+    pub_a.apply_batch(ev, 0)
+    n_before = pub_a.transport.read_topic(spark, "cdc.public.docs").count()
+
+    pub_b = JsonPublisher(  # new lineage, epochs restart at 0
+        spark,
+        PublisherOptions(events_dir=f"{wal}/events",
+                         checkpoint_dir=str(tmp_path / "ckpt-b")),
+        FileTransport(root),
+    )
+    assert pub_b.transport.committed_epoch() == -1  # old epochs not trusted
+    pub_b.apply_batch(ev, 0)
+    assert pub_b.published_epochs == [0]
+    assert (
+        pub_b.transport.read_topic(spark, "cdc.public.docs").count()
+        == 2 * n_before
+    )
+    # and the new run's own replay IS still a no-op
+    assert pub_b.transport.committed_epoch() == 0
 
 
 def test_partition_files_are_lsn_ordered(spark, wal, tmp_path):
@@ -148,14 +180,25 @@ def test_partition_files_are_lsn_ordered(spark, wal, tmp_path):
 
 class _Collector(http.server.BaseHTTPRequestHandler):
     received: list = []
+    fail_first: int = 0  # respond 500 to this many requests (retry test)
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers["Content-Length"]))
-        type(self).received.append(
+        cls = type(self)
+        if cls.fail_first > 0:
+            cls.fail_first -= 1
+            self.send_response(500)
+            self.end_headers()
+            return
+        cls.received.append(
             {
                 "topic": self.headers["X-Cdc-Topic"],
                 "partition": int(self.headers["X-Cdc-Partition"]),
                 "epoch": int(self.headers["X-Cdc-Epoch"]),
+                "webhook_id": self.headers["webhook-id"],
+                "webhook_timestamp": self.headers.get("webhook-timestamp"),
+                "webhook_signature": self.headers.get("webhook-signature"),
+                "body": body,
                 "lines": body.decode().splitlines(),
             }
         )
@@ -166,27 +209,105 @@ class _Collector(http.server.BaseHTTPRequestHandler):
         pass
 
 
-def test_webhook_transport_posts_ordered_batches(spark, wal):
+@pytest.fixture()
+def http_collector():
     _Collector.received = []
+    _Collector.fail_first = 0
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Collector)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        wt = WebhookTransport(f"http://127.0.0.1:{srv.server_port}/ingest")
-        routed = _routed(spark, wal)
-        n_lines = routed.count()
-        wt.publish(routed, 3)
-        got = _Collector.received
-        assert sum(len(b["lines"]) for b in got) == n_lines
-        assert {b["epoch"] for b in got} == {3}
-        assert {b["topic"] for b in got} == {"cdc.public.docs"}
-        # one batch per partition, LSN-ordered inside each
-        assert sorted(b["partition"] for b in got) == [0, 1, 2, 3]
-        for b in got:
-            ws = [json.loads(x)["w"] for x in b["lines"]]
-            assert ws == sorted(ws)
+        yield srv
     finally:
         srv.shutdown()
+
+
+def test_webhook_transport_posts_ordered_batches(spark, wal, http_collector):
+    wt = WebhookTransport(f"http://127.0.0.1:{http_collector.server_port}/ingest")
+    routed = _routed(spark, wal)
+    n_lines = routed.count()
+    wt.publish(routed, 3)
+    got = _Collector.received
+    assert sum(len(b["lines"]) for b in got) == n_lines
+    assert {b["epoch"] for b in got} == {3}
+    assert {b["topic"] for b in got} == {"cdc.public.docs"}
+    # one batch per partition, LSN-ordered inside each
+    assert sorted(b["partition"] for b in got) == [0, 1, 2, 3]
+    for b in got:
+        ws = [json.loads(x)["w"] for x in b["lines"]]
+        assert ws == sorted(ws)
+        # webhook-id = firstLSN_lastLSN of the chunk
+        assert b["webhook_id"] == f"{ws[0]}_{ws[-1]}"
+
+
+def test_webhook_hmac_signature_verifies(spark, wal, http_collector):
+    """Standard-Webhooks signing (reference WebhookPublisher.cs:90-304):
+    webhook-signature = v1,base64(HMAC-SHA256(secret, id.timestamp.body))
+    — recomputed and verified on the receiving side."""
+    import base64
+    import hashlib
+    import hmac
+
+    secret = "whsec_test_key"
+    wt = WebhookTransport(
+        f"http://127.0.0.1:{http_collector.server_port}/ingest", secret=secret
+    )
+    wt.publish(_routed(spark, wal).limit(40), 1)
+    got = _Collector.received
+    assert got
+    for b in got:
+        assert b["webhook_timestamp"] is not None
+        signed = f"{b['webhook_id']}.{b['webhook_timestamp']}.".encode() + b["body"]
+        want = base64.b64encode(
+            hmac.new(secret.encode(), signed, hashlib.sha256).digest()
+        ).decode()
+        assert b["webhook_signature"] == f"v1,{want}"
+
+
+def test_webhook_chunks_bounded_and_ordered(spark, wal, http_collector):
+    """max_batch_bytes splits a partition's epoch group into several POSTs;
+    LSN order holds across chunks and no chunk exceeds the bound."""
+    wt = WebhookTransport(
+        f"http://127.0.0.1:{http_collector.server_port}/ingest",
+        max_batch_bytes=4096,
+    )
+    routed = _routed(spark, wal, n_partitions=2)
+    n_lines = routed.count()
+    wt.publish(routed, 7)
+    got = _Collector.received
+    by_part: dict = {}
+    for b in got:
+        assert len(b["body"]) <= 4096
+        by_part.setdefault(b["partition"], []).append(b)
+    assert sum(len(b["lines"]) for b in got) == n_lines
+    assert any(len(chunks) > 1 for chunks in by_part.values())  # actually split
+    for chunks in by_part.values():
+        ws = [json.loads(x)["w"] for c in chunks for x in c["lines"]]
+        # receiving order across chunks may interleave between partitions but
+        # within a partition chunks arrive sequentially from one task
+        assert ws == sorted(ws)
+
+
+def test_webhook_retry_ladder_recovers_from_5xx(spark, wal, http_collector):
+    _Collector.fail_first = 2
+    wt = WebhookTransport(
+        f"http://127.0.0.1:{http_collector.server_port}/ingest",
+        retry_backoff=(0.05, 0.1, 0.2),
+    )
+    routed = _routed(spark, wal, n_partitions=1).limit(20)
+    n_lines = routed.count()
+    wt.publish(routed, 2)
+    got = _Collector.received
+    assert sum(len(b["lines"]) for b in got) == n_lines  # delivered after retries
+    assert _Collector.fail_first == 0
+
+
+def test_publisher_options_reject_default_json_mode(tmp_path):
+    with pytest.raises(ValueError, match="compact"):
+        PublisherOptions(
+            events_dir=str(tmp_path), checkpoint_dir=str(tmp_path),
+            json_mode="default",
+        )
 
 
 def test_kafka_transport_is_gated_with_coordinate(spark, wal):
