@@ -1070,10 +1070,12 @@ SQL_SYNTH_TOKENS = (
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing of synthetic token arrays into 512-token
-    training windows (mapInPandas — rows-only oracle: the greedy fold is a
-    sequential recurrence, not SQL-expressible; invariants in pytest).  The
-    packed array is emitted as an md5 digest so the driver can canonicalize."""
-    from pgoutput2json_spark.functions.tokens import tokens_digest
+    training windows.  The fold is a sequential recurrence, but it IS
+    deterministic given the md5 routing + doc_id order — so the DuckDB
+    oracle replays it exactly with a recursive CTE (SQL_PACK) and the
+    driver checks the full (pack_id, contents-md5, n_tok, n_docs)
+    assignment.  The packed array is canonicalized as md5 of the
+    comma-joined tokens (JVM-side: md5(concat_ws), no UDF)."""
     from pgoutput2json_spark.pipeline.sampling import pack_sequences
 
     emb = _emb(spark, sf_dir)
@@ -1081,10 +1083,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(toks, window=512, eos=0, packers=4)
     return packed.select(
         "pack_id",
-        tokens_digest(F.col("tokens")).alias("tokens_digest"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tokens_md5"),
         "n_tok",
         "n_docs",
     )
+
+
+#: DuckDB replay of the greedy fold: same md5 routing (pk), same doc_id
+#: order, same truncate-to-511+eos accounting, stepped with a recursive CTE
+#: (one level per doc rank within its packer).  Independent in the way that
+#: matters: it re-executes the SPEC (deterministic greedy first-fit), not
+#: the engine's code path — any routing/order/overflow bug in the Spark
+#: mapInPandas packer shows up as a pack_id/md5/n_tok mismatch.
+SQL_PACK = f"""
+WITH RECURSIVE toks AS (
+  SELECT vec_id::VARCHAR AS id,
+         {MD5L.format(x='vec_id::VARCHAR')} % 4 AS pk,
+         {SQL_SYNTH_TOKENS} AS t0
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+docs AS (
+  SELECT pk, id,
+         list_append(t0[1:511], 0) AS t,
+         row_number() OVER (PARTITION BY pk ORDER BY id) AS rn
+  FROM toks
+),
+fold AS (
+  SELECT pk, rn, t, len(t)::BIGINT AS buf, 0::BIGINT AS seq
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.pk, d.rn, d.t,
+         CASE WHEN f.buf + len(d.t) > 512 THEN len(d.t)::BIGINT
+              ELSE f.buf + len(d.t) END,
+         CASE WHEN f.buf + len(d.t) > 512 THEN f.seq + 1 ELSE f.seq END
+  FROM fold f JOIN docs d ON d.pk = f.pk AND d.rn = f.rn + 1
+)
+SELECT 'p' || pk::VARCHAR || '-' || lpad(seq::VARCHAR, 8, '0') AS pack_id,
+       md5(array_to_string(flatten(list(t ORDER BY rn)), ',')) AS tokens_md5,
+       sum(len(t))::INT AS n_tok,
+       count(*)::INT AS n_docs
+FROM fold
+GROUP BY pk, seq
+"""
 
 
 def q_token_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,6 +1285,5 @@ def oracle_sql() -> dict[str, str]:
         "token_transforms": SQL_TOKEN_TRANSFORMS,
         "sample_hash": SQL_SAMPLE_HASH,
         "sample_stratified": SQL_SAMPLE_STRAT,
-        # rows-only (sequential greedy fold, not SQL-expressible):
-        #   pack_sequences (array payload emitted as md5 digest)
+        "pack_sequences": SQL_PACK,
     }
