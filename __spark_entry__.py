@@ -637,13 +637,93 @@ def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_gemm(emb, queries_pd, k=10)
 
 
+def _planted_dups(emb: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate twins: for vec_id < 60, a copy at
+    vec_id+100000 with dim 0 nudged by +0.01 (double add, rounded back to
+    float32 — bit-reproducible in DuckDB via the same arithmetic).  The
+    synthetic corpus has no true near-dups (max random-pair cosine ~0.51 at
+    sf0.01), so the twins provide known ground truth at cosine ~1.0."""
+    return emb.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == 0, (x.cast("double") + F.lit(0.01)).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-band SRP-LSH + exact cosine
-    (3 bands x 8 planes: union of candidates — recall and bucket-skew both
-    beat the single-band variant; see BENCH notes on candidate-set size)."""
+    (3 bands x 8 planes, ``max_bucket`` skew cap ENGAGED).  Run at
+    threshold 0.99 over the corpus + planted twins — the regime near-dup
+    detection targets, where banding recall is exact on this data.  The
+    oracle is pure O(n²) brute force with NO banding (decoupled: a recall
+    bug in the engine's banding would mismatch).  Recall at looser
+    thresholds is reported by the separate ``embedding_neardup_recall``
+    telemetry query."""
+    emb = _emb(spark, sf_dir)
+    aug = emb.select("vec_id", "embedding").unionByName(_planted_dups(emb))
     return sim.cosine_neardup_pairs(
+        aug, dim=64, threshold=0.99, planes=8, bands=3, max_bucket=200
+    )
+
+
+def q_embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall telemetry at a LOW threshold (0.25 — deep in the
+    random-pair tail where SRP recall is inherently small): one row of
+    (n_exact, n_banded, recall).  The exact side brute-forces the sample;
+    the oracle recomputes n_exact independently (brute force) so the
+    reported recall denominator is verified, not engine-trusted."""
+    return sim.neardup_recall(
         _emb(spark, sf_dir), dim=64, threshold=0.25, planes=8, bands=3
     )
+
+
+#: decoupled brute-force oracle for embedding_neardup: same planted-twin
+#: augmentation (double add on dim 0, rounded back to float32 — matches the
+#: Spark transform bit-for-bit), then ALL pairs with cosine >= 0.99 and NO
+#: banding — the engine's SRP candidate generation passes only if its
+#: recall AND precision are exactly 1.0 on this data.
+SQL_NEARDUP_BRUTE = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend((embedding[1]::DOUBLE + 0.01)::FLOAT, embedding[2:])
+  FROM embeddings WHERE vec_id < 60
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.99
+"""
+
+
+def _sql_neardup_recall(dim: int = 64, planes: int = 8, bands: int = 3,
+                        threshold: float = 0.25) -> str:
+    """Recall-telemetry oracle: n_exact from independent brute force (the
+    verified denominator); n_banded replays the engine's banding spec (the
+    numerator is definitionally banding-dependent)."""
+    banded = _sql_srp_neardup(dim, planes, bands, threshold)
+    return f"""
+WITH brute AS (
+  SELECT round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+ex AS (SELECT count(*) AS n_exact FROM brute WHERE cos >= {threshold}),
+bd AS (SELECT count(*) AS n_banded FROM ({banded}) t)
+SELECT ex.n_exact, bd.n_banded,
+       round(bd.n_banded::DOUBLE / nullif(ex.n_exact, 0)::DOUBLE, 4) AS recall
+FROM ex, bd
+"""
 
 
 def _sql_srp_neardup(dim: int = 64, planes: int = 8, bands: int = 3,
@@ -1235,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_recall": q_embedding_neardup_recall,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_pii_scrub": q_text_pii_scrub,
@@ -1272,7 +1353,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_gemm_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(dim=64, planes=8, k=10),
         "ann_ivf_topk": _sql_ann_ivf_topk(n_centroids=16, nprobe=4, k=10),
-        "embedding_neardup": _sql_srp_neardup(dim=64, planes=8, bands=3, threshold=0.25),
+        "embedding_neardup": SQL_NEARDUP_BRUTE,
+        "embedding_neardup_recall": _sql_neardup_recall(
+            dim=64, planes=8, bands=3, threshold=0.25
+        ),
         "text_langid": _sql_langid(),
         "text_quality": _sql_quality(),
         "text_pii_scrub": _sql_pii_scrub(),

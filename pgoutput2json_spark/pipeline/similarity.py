@@ -368,3 +368,56 @@ def cosine_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def neardup_recall(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float,
+    planes: int = 8,
+    bands: int = 3,
+    max_bucket: int | None = None,
+    sample_fraction: float = 1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banding-recall telemetry: exact pair count (brute force over a
+    deterministic hash sample) vs the SRP-banded candidate pairs, at the
+    given cosine threshold.  One summary row:
+    ``(n_exact, n_banded, recall)``.
+
+    SRP recall is probabilistic — 1-(1-(1-θ/π)^P)^B per pair — so a banded
+    near-dup run at a *low* threshold (deep in the random-pair tail) finds
+    only a fraction of the true pairs.  This operator makes that number
+    explicit instead of leaving it implicit in the banding parameters:
+    calibrate (planes, bands, threshold) on a sample until the measured
+    recall is acceptable, then run :func:`cosine_neardup_pairs` at scale.
+    The exact side is a broadcast nested-loop self-join over the sample —
+    O(s²) — so at 100 TB you run it on ``sample_fraction`` ~ 1e-5 (tens of
+    thousands of vectors), never on the full corpus."""
+    from pgoutput2json_spark.pipeline.sampling import hash_fraction
+
+    if sample_fraction < 1.0:
+        vectors = vectors.filter(
+            hash_fraction(F.col(id_col).cast("string")) < F.lit(sample_fraction)
+        )
+    a, b = vectors.alias("a"), vectors.alias("b")
+    exact = (
+        a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+            ).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    n_exact = exact.count()
+    n_banded = cosine_neardup_pairs(
+        vectors, dim, threshold, planes, bands, max_bucket, vec_col, id_col
+    ).count()
+    spark = vectors.sparkSession
+    recall = round(n_banded / n_exact, 4) if n_exact else None
+    return spark.createDataFrame(
+        [(n_exact, n_banded, recall)],
+        "n_exact long, n_banded long, recall double",
+    )

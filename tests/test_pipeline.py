@@ -192,3 +192,38 @@ def test_pii_scrub_kinds(spark):
     assert out[4]["n_card"] == 1 and "<CARD>" in out[4]["text_scrubbed"]
     assert out[5]["text_scrubbed"] == "nothing sensitive here"
     assert all(out[5][f"n_{k}"] == 0 for k in ("email", "phone", "ipv4", "card"))
+
+
+def test_neardup_hot_bucket_capped(spark):
+    """max_bucket drops over-sized (band, bucket) groups BEFORE the
+    self-join — the 100 TB guard: a bucket of n clones costs n(n-1)/2 join
+    rows without it.  With bands=1 the capped clones have no second chance,
+    so their pairs disappear entirely; uncapped they all appear."""
+    clones = [(i, [1.0] * 8) for i in range(20)]  # one hot SRP bucket
+    spread = [(100 + i, [float(((i * 13 + j * 7) % 53) - 26) for j in range(8)])
+              for i in range(10)]
+    emb = spark.createDataFrame(clones + spread, "vec_id long, embedding array<float>")
+    uncapped = sim.cosine_neardup_pairs(emb, dim=8, threshold=0.999, planes=4,
+                                        bands=1).collect()
+    clone_pairs = [r for r in uncapped if r["id_a"] < 20 and r["id_b"] < 20]
+    assert len(clone_pairs) == 20 * 19 // 2  # the quadratic blowup, observed
+    capped = sim.cosine_neardup_pairs(emb, dim=8, threshold=0.999, planes=4,
+                                      bands=1, max_bucket=10).collect()
+    assert [r for r in capped if r["id_a"] < 20 and r["id_b"] < 20] == []
+    # non-hot buckets are untouched by the cap
+    assert {(r["id_a"], r["id_b"]) for r in capped} == \
+           {(r["id_a"], r["id_b"]) for r in uncapped if not (r["id_a"] < 20 and r["id_b"] < 20)}
+
+
+def test_neardup_recall_telemetry(spark):
+    """neardup_recall reports the honest banded-vs-exact ratio; with a twin
+    corpus at high threshold recall must be 1.0, and n_exact must equal the
+    planted pair count."""
+    base = [(i, [float(((i * 31 + j * 17) % 97) - 48) / 48.0 for j in range(8)])
+            for i in range(30)]
+    twins = [(1000 + i, v) for i, v in base[:5]]  # exact copies: cos = 1.0
+    emb = spark.createDataFrame(base + twins, "vec_id long, embedding array<float>")
+    row = sim.neardup_recall(emb, dim=8, threshold=0.9999, planes=4, bands=2).first()
+    assert row["n_exact"] == 5
+    assert row["n_banded"] == 5  # identical vectors share every bucket
+    assert row["recall"] == 1.0
