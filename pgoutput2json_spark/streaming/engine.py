@@ -86,6 +86,10 @@ class EngineOptions:
     row_filter: str | None = None
     #: K1 app-callback: called with the commit summary after each batch
     post_commit_hook: object | None = None
+    #: R1 online skew feedback (streaming.monitor.SkewFeedback): hot-key
+    #: reports from hot_key_stream scale the LWW salt factor per batch; the
+    #: chosen factor lands in the commit summary as ``skew.salt``
+    skew_feedback: object | None = None
     #: auto-maintenance: every N apply epochs, compact buckets whose file
     #: count exceeds the threshold and GC files orphaned by CoW merges
     #: (0 = disabled).  Non-zero by default so merge-on-read delta logs are
@@ -284,10 +288,17 @@ class CdcEngine:
 
             flat = explode_key_updates(parsed, field_names)
             persisted: list = []
+            skew_salt = None
             if opts.apply_mode == "lww":
                 if deferred:
                     flat = decode_fields(flat, fields)
-                grouped = salted_lww_reduce(flat, field_names).persist()
+                skew_salt = (
+                    opts.skew_feedback.salt_factor(64)
+                    if opts.skew_feedback is not None
+                    else 64
+                )
+                grouped = salted_lww_reduce(flat, field_names,
+                                            salt=skew_salt).persist()
             else:
                 flat = snapshot_cut(flat, field_names, n_events_hint=n_events,
                                     persist_registry=persisted)
@@ -364,6 +375,7 @@ class CdcEngine:
                 "truncate-lsn": truncate_lsn,
                 "touched-buckets": buckets,
                 "lineage": lineage_path,
+                **({"skew.salt": skew_salt} if skew_salt is not None else {}),
                 **{f"merge.{k}": v for k, v in merge_stats.items()},
             }
             new_max = max(batch_max_lsn, committed)

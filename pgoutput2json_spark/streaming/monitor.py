@@ -33,6 +33,65 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+class SkewFeedback:
+    """The consumer side of :func:`hot_key_stream` — closes the loop from
+    detection to plan change.
+
+    A monitor query drains hot-key reports into this object
+    (``attach_to(query_df)`` runs it as a ``foreachBatch`` sink); the apply
+    engine consults it per micro-batch (``EngineOptions.skew_feedback``) to
+    scale the salted-LWW salt factor: one doubling per doubling of the
+    hottest key's event count over the detection threshold, capped.  The
+    chosen factor is recorded in the commit summary (``skew.salt``) so the
+    feedback's effect on the applied plan is observable.
+
+    Thread-safe: reports arrive from the monitor stream's micro-batch
+    thread while the engine reads from its own."""
+
+    def __init__(self, threshold: int, max_salt: int = 1024):
+        import threading
+
+        self.threshold = int(threshold)
+        self.max_salt = int(max_salt)
+        self._lock = threading.Lock()
+        self._hot: dict[str, int] = {}
+
+    def observe_report(self, rows) -> None:
+        """Ingest hot_key_stream output rows (key, total_events, last_lsn)."""
+        with self._lock:
+            for r in rows:
+                k = r["key"]
+                n = int(r["total_events"])
+                if n > self._hot.get(k, 0):
+                    self._hot[k] = n
+
+    def attach_to(self, hot_keys_df: DataFrame, checkpoint_dir: str):
+        """Run a hot_key_stream as this feedback's source (foreachBatch)."""
+        return (
+            hot_keys_df.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _eid: self.observe_report(df.collect()))
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def hot_keys(self) -> dict[str, int]:
+        with self._lock:
+            return dict(self._hot)
+
+    def salt_factor(self, base: int) -> int:
+        """base while nothing is hot; doubles per doubling of the hottest
+        key's count over the threshold once reports arrive."""
+        with self._lock:
+            worst = max(self._hot.values(), default=0)
+        salt = int(base)
+        if worst >= self.threshold:
+            ratio = worst // self.threshold
+            while ratio > 1 and salt < self.max_salt:
+                salt *= 2
+                ratio //= 2
+        return min(salt, self.max_salt)
+
+
 def change_rate_stream(
     events: DataFrame,
     window: str = "1 minute",

@@ -154,3 +154,59 @@ def test_hot_key_doubling_reports(spark, stream_dirs):
     reports = sorted(r["total_events"] for r in sink)
     # first crossing at 3 (>=2), doubling report at 6 (>=2*3); 9 < 2*6 stays quiet
     assert reports == [3, 6]
+
+
+def test_hot_key_feedback_changes_applied_plan(spark, tmp_path):
+    """The R1 loop closed: hot_key_stream reports -> SkewFeedback ->
+    the engine's salted LWW reduce runs with a scaled salt factor, visible
+    in the commit summary (skew.salt)."""
+    from pgoutput2json_spark.streaming.monitor import SkewFeedback
+    from tests.util import ev, make_engine, write_jsonl
+
+    events = [ev("I", w * 10 + 1, r=[f"d{w}", "[1]", "1", "web"]) for w in range(40)]
+    write_jsonl(events, str(tmp_path / "events"))
+
+    fb = SkewFeedback(threshold=1000)
+    eng = make_engine(spark, str(tmp_path), apply_mode="lww", skew_feedback=fb)
+    s1 = eng.apply_batch(
+        __import__("pgoutput2json_spark.sources.events", fromlist=["read_events"])
+        .read_events(spark, str(tmp_path / "events"), "jsonl"),
+        epoch_id=0,
+    )
+    assert s1["skew.salt"] == 64  # nothing hot: the default plan
+
+    # the monitor flags a runaway key at 8x the detection threshold
+    fb.observe_report([{"key": "d1", "total_events": 8000, "last_lsn": 999}])
+    assert fb.salt_factor(64) == 512  # 64 * 2^3
+    events2 = [ev("U", 2000 + w, k=["d1"], r=["d1", "[9]", "1", "web"])
+               for w in range(20)]
+    write_jsonl(events2, str(tmp_path / "events"), filename="zz.jsonl")
+    from pgoutput2json_spark.sources.events import read_events
+
+    s2 = eng.apply_batch(read_events(spark, str(tmp_path / "events"), "jsonl"),
+                         epoch_id=1)
+    assert s2["skew.salt"] == 512  # the detected hot key changed the plan
+
+
+def test_skew_feedback_attach_to_stream(spark, stream_dirs):
+    """End-to-end: a hot_key_stream query drains its reports into
+    SkewFeedback via attach_to (foreachBatch sink)."""
+    from pgoutput2json_spark.streaming.monitor import SkewFeedback
+    from pgoutput2json_spark.sources.events import read_events_stream
+
+    ev_dir, ckpt = stream_dirs
+    base = 1_700_000_000_000
+    _write_segment(
+        ev_dir / "a.jsonl",
+        [_ev("U", w, "viral", base + w) for w in range(1, 9)],
+    )
+    fb = SkewFeedback(threshold=4)
+    stream = read_events_stream(spark, str(ev_dir), "jsonl")
+    q = fb.attach_to(hot_key_stream(stream, threshold=4), str(ckpt))
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline and not fb.hot_keys():
+        time.sleep(0.5)
+    q.stop()
+    assert fb.hot_keys().get("viral", 0) >= 4
+    assert fb.salt_factor(64) == 128  # 8 events = 2x threshold -> one doubling
