@@ -1,3 +1,4 @@
+from pgoutput2json_spark.lake.format import TableFormat
 from pgoutput2json_spark.lake.table import LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = ["LakeTable", "TableFormat"]

@@ -1,0 +1,122 @@
+"""TableFormat — the table-format seam the CDC engine writes through.
+
+The engine (streaming/engine.py) depends only on this protocol, never on
+:class:`~pgoutput2json_spark.lake.table.LakeTable` concretely — so a real
+Apache Iceberg binding can drop in when an Iceberg runtime jar is on the
+classpath, without touching the apply path.  This container ships no
+Iceberg jar, so :class:`LakeTable` is the in-repo implementation with the
+same guarantees (atomic CAS commits, snapshot summaries, bucket spec,
+merge-on-read deltas, metadata-only evolution).
+
+Per-operation mapping onto Iceberg (the north rule's named format):
+
+========================  ====================================================
+protocol operation        Iceberg equivalent
+========================  ====================================================
+``read(buckets)``         table scan with partition pruning on the
+                          ``bucket(N, key)`` transform spec
+``read_at(version)``      time travel: ``VERSION AS OF`` a snapshot id
+``evolve(fields)``        ``ALTER TABLE ... ADD COLUMN / ALTER COLUMN TYPE``
+                          (metadata-only; int->bigint widening is an Iceberg
+                          "safe" promotion)
+``write_data_files``      write parquet into the partition spec (the
+                          ``append``/``overwrite`` file set, not yet
+                          committed) — Iceberg's data-file manifests
+``write_delta_files``     Iceberg v2 row-level deletes: the folded per-key
+                          rows play upsert + equality-delete files
+``commit_replace_*``      ``ReplacePartitions`` / ``RewriteFiles`` snapshot
+                          commit (copy-on-write)
+``commit_append_deltas``  ``RowDelta`` snapshot commit (merge-on-read)
+``property`` /            snapshot summary + table properties —
+``committed_epoch`` /     the exactly-once markers ``cdc.last-epoch`` /
+``committed_lsn``         ``cdc.max-lsn`` / ``cdc.run-id`` ride the same
+                          atomic commit as the data (Iceberg snapshot
+                          ``summary`` map)
+``compact_buckets``       ``rewrite_data_files`` + ``rewrite_position_
+                          delete_files`` maintenance procedures
+``expire_snapshots``      ``expire_snapshots`` procedure
+``approx_base_rows``      ``SELECT sum(record_count) FROM .files`` (manifest
+                          metadata, no data scan) — drives merge_mode='auto'
+========================  ====================================================
+
+Methods that Iceberg gets "for free" and LakeTable implements by hand:
+optimistic-concurrency CAS on the snapshot pointer (``CommitConflict`` =
+Iceberg's ``CommitFailedException``), reading old files through the newest
+schema, manifest-level file pruning by bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame
+
+
+@runtime_checkable
+class TableFormat(Protocol):
+    """The ~dozen operations the CDC engine needs from a table format.
+
+    Structural: any object with these methods works (LakeTable today, an
+    Iceberg-backed adapter when a jar is available).  See the module
+    docstring for the per-operation Iceberg mapping.
+    """
+
+    # --- identity / schema ------------------------------------------------
+    root: str
+
+    def schema_fields(self) -> list[dict]: ...
+    def spark_schema(self): ...
+    def column_names(self) -> list[str]: ...
+    def key_expr(self, prefix: str = ""): ...
+    def bucket_expr(self, col: str | None = None): ...
+
+    # --- read path --------------------------------------------------------
+    def read(self, buckets: list[int] | None = None) -> DataFrame: ...
+    def read_at(self, version: int, buckets: list[int] | None = None) -> DataFrame: ...
+    def touched_buckets(self) -> list[int]: ...
+    def approx_base_rows(self) -> int | None: ...
+
+    # --- schema evolution (E2) -------------------------------------------
+    def evolve(self, new_fields: list[dict], summary: dict | None = None) -> bool: ...
+
+    # --- write path (B3: data + markers in ONE atomic commit) -------------
+    def current_version(self) -> int | None: ...
+    def write_data_files(
+        self, df: DataFrame, version_hint: int, prefix: str = "c"
+    ) -> dict[str, list[str]]: ...
+    def write_delta_files(
+        self, df: DataFrame, version_hint: int
+    ) -> dict[str, list[str]]: ...
+    def commit_replace_buckets(
+        self,
+        new_files: dict[str, list[str]],
+        replaced_buckets: list[int],
+        summary: dict | None = None,
+        properties: dict | None = None,
+        expected_version: int | None = None,
+        truncate_all: bool = False,
+        clear_deltas: bool = True,
+    ) -> dict: ...
+    def commit_append_deltas(
+        self,
+        new_deltas: dict[str, list[str]],
+        summary: dict | None = None,
+        properties: dict | None = None,
+        expected_version: int | None = None,
+    ) -> dict: ...
+    def append(
+        self, df: DataFrame, summary: dict | None = None,
+        properties: dict | None = None,
+    ) -> dict: ...
+
+    # --- exactly-once markers / lineage (M1/M3) ---------------------------
+    def property(self, key: str, default=None): ...
+    def committed_epoch(self) -> int: ...
+    def committed_lsn(self) -> int: ...
+    def snapshots(self) -> list[dict]: ...
+
+    # --- maintenance ------------------------------------------------------
+    def compact_buckets(
+        self, max_files_per_bucket: int = 4, summary: dict | None = None
+    ) -> dict | None: ...
+    def expire_snapshots(self, keep_last: int = 1) -> int: ...

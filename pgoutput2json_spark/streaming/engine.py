@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
+from pgoutput2json_spark.lake.format import TableFormat
 from pgoutput2json_spark.lake.table import LakeTable
 from pgoutput2json_spark.operators.dedup import salted_lww_reduce
 from pgoutput2json_spark.operators.explode import explode_key_updates
@@ -148,11 +149,15 @@ class CdcEngine:
     def __init__(self, spark: SparkSession, opts: EngineOptions):
         self.spark = spark
         self.opts = opts
-        self.table = self._ensure_table()
+        #: the engine writes through the TableFormat seam only (lake/
+        #: format.py documents the per-operation Iceberg mapping); LakeTable
+        #: is the in-container implementation — an Iceberg-backed adapter
+        #: drops in here when a runtime jar is available
+        self.table: TableFormat = self._ensure_table()
 
     # ------------------------------------------------------------ setup
 
-    def _ensure_table(self) -> LakeTable:
+    def _ensure_table(self) -> TableFormat:
         if LakeTable.exists(self.opts.table_root):
             return LakeTable(self.spark, self.opts.table_root)
         rel = DOCS_RELATION

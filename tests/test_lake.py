@@ -103,3 +103,25 @@ def test_bucket_pruned_read_lists_fewer_files(spark, tmpdir_path):
     # pruned scan reads only that bucket's files
     scan_files = one.inputFiles()
     assert all(f"__bucket={t.touched_buckets()[0]}" in f for f in scan_files)
+
+
+def test_laketable_satisfies_tableformat_protocol(spark, tmp_path):
+    """The engine's seam: LakeTable structurally implements TableFormat, so
+    an Iceberg-backed adapter with the same surface drops in unchanged."""
+    from pgoutput2json_spark.lake.format import TableFormat
+    from pgoutput2json_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        schema=[{"name": "doc_id", "type": "string", "oid": 25}],
+        bucket_column="doc_id", bucket_count=2,
+    )
+    assert isinstance(t, TableFormat)
+    # every protocol member resolves on the implementation
+    for name in (
+        "read", "read_at", "evolve", "write_data_files", "write_delta_files",
+        "commit_replace_buckets", "commit_append_deltas", "append",
+        "property", "committed_epoch", "committed_lsn", "snapshots",
+        "compact_buckets", "expire_snapshots", "approx_base_rows",
+    ):
+        assert callable(getattr(t, name)), name
