@@ -79,12 +79,62 @@ def pg_number_array(col: Column, element_type: str = "int", max_depth: int = 4) 
     return F.when(col.isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(expr)
 
 
+def pg_text_array_catalyst(col: Column, max_depth: int = 4) -> Column:
+    """PG text-array literal -> array<string>, pure Catalyst (no Python):
+    brace->bracket, unquoted-NULL -> JSON null, unquoted tokens JSON-quoted,
+    then ``from_json`` per detected depth (same machinery as
+    pg_number_array).  PG's quoted-element escapes (``\\"`` and ``\\\\``,
+    JsonUtils.cs:103-182) are JSON-compatible, so quoted elements pass
+    through verbatim.
+
+    Quoted elements with embedded commas are JSON-native and parse fine;
+    quoted elements with embedded *braces* are the one shape translate
+    cannot see through — those rows are detected (regexp over the quoted
+    segments) and yield NULL, never silently corrupted data; use the exact
+    pandas strategy (``pg_text_array(col, strategy='pandas')``) for such
+    corpora."""
+    brace_in_quotes = F.regexp_like(
+        col, F.lit(r'"(?:[^"\\]|\\.)*?[{}](?:[^"\\]|\\.)*"')
+    )
+    json_text = F.translate(col, "{}", "[]")
+    json_text = F.regexp_replace(
+        json_text, r"(?i)(?<=[\[,])\s*NULL\s*(?=[,\]])", "null"
+    )
+    # JSON-quote remaining unquoted tokens (they contain no specials by PG's
+    # own quoting rules; `null` was already lowered above)
+    json_text = F.regexp_replace(
+        json_text,
+        r"(?<=[\[,])\s*(?!null\s*[,\]])([^,\[\]\"\s][^,\[\]\"]*?)\s*(?=[,\]])",
+        "\"$1\"",
+    )
+    lead = F.length(
+        F.regexp_replace(F.regexp_extract(col, r"^([\s{]*)", 1), r"\s", "")
+    )
+
+    def parse_depth(d: int) -> Column:
+        schema = "string"
+        for _ in range(d):
+            schema = f"array<{schema}>"
+        c = F.from_json(json_text, schema)
+        for _ in range(d - 1):
+            c = F.flatten(c)
+        return c
+
+    expr = parse_depth(1)
+    for d in range(2, max_depth + 1):
+        expr = F.when(lead >= d if d == max_depth else lead == d, parse_depth(d)).otherwise(expr)
+    return F.when(
+        col.isNull() | brace_in_quotes, F.lit(None).cast("array<string>")
+    ).otherwise(expr)
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
-def pg_text_array(s: pd.Series) -> pd.Series:
-    """PG text-array literal -> array<string>, handling quoted elements with
-    embedded commas/braces/escapes and unquoted NULLs
+def pg_text_array_pandas(s: pd.Series) -> pd.Series:
+    """Exact PG text-array parser — handles quoted elements with embedded
+    commas/braces/escapes and unquoted NULLs
     (JsonUtils.cs:103-182,236-269 semantics).  Arrow-batched pandas UDF —
-    this path is off the token hot path (text arrays only).
+    the fallback strategy for pathological quoting; off the token hot path
+    (text arrays only).
     """
 
     def parse(v):
@@ -138,6 +188,16 @@ def pg_text_array(s: pd.Series) -> pd.Series:
         return out
 
     return s.map(parse)
+
+
+def pg_text_array(col: Column, strategy: str = "catalyst") -> Column:
+    """PG text-array decode, strategy-dispatched: ``'catalyst'`` (default —
+    zero Python in the plan, covers PG-generated literals whose quoted
+    elements embed no delimiters) or ``'pandas'`` (exact for pathological
+    quoting)."""
+    if strategy == "pandas":
+        return pg_text_array_pandas(col)
+    return pg_text_array_catalyst(col)
 
 
 def decode_by_oid(col: Column, oid: int, typmod: int = -1) -> Column:
