@@ -52,6 +52,7 @@ PIPELINE_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_neardup",
+    "embedding_neardup_recall",
     "text_langid",
     "text_quality",
     "text_pii_scrub",
@@ -227,6 +228,7 @@ def run_cdc_stream_writeamp(spark, events_dir: str, fmt: str, n_events: int,
     dt = time.time() - t0
     snaps = eng.table.snapshots()
     per_epoch = []
+    epoch_modes = []
     prev: set = set()
     for s in snaps:
         files = set()
@@ -239,6 +241,7 @@ def run_cdc_stream_writeamp(spark, events_dir: str, fmt: str, n_events: int,
                 os.path.getsize(os.path.join(eng.table.root, f))
                 for f in new if os.path.exists(os.path.join(eng.table.root, f))
             ))
+            epoch_modes.append(s["summary"].get("merge-mode"))
         prev = files
     table_bytes = sum(_snapshot_file_bytes(eng.table, snaps[-1]).values())
     rows = eng.table.read().count()
@@ -247,11 +250,81 @@ def run_cdc_stream_writeamp(spark, events_dir: str, fmt: str, n_events: int,
         "sec": round(dt, 2),
         "events_per_sec": round(n_events / dt),
         "epochs": len(per_epoch),
+        "epoch_modes": epoch_modes,  # 'auto' shows the CoW->MoR switch
         "bytes_per_epoch_avg": round(sum(per_epoch) / max(len(per_epoch), 1)),
         "bytes_per_epoch": per_epoch,
         "final_table_bytes": table_bytes,
         "final_rows": rows,
     }
+
+
+def run_mor_readamp(spark, events_dir: str, fmt: str,
+                    levels=(0, 4, 8, 16)) -> dict:
+    """Read-amplification as MoR delta epochs accumulate (VERDICT r2 #10):
+    apply the writeamp WAL in 16 forced-MoR epochs and time a full table
+    read at 0/4/8/16 accumulated delta epochs — once with compaction
+    disabled (unbounded delta logs) and once under the DEFAULT
+    ``compact_every`` (bounded).  The contrast is the evidence that the
+    default keeps read cost ~flat while uncompacted read cost grows with
+    the log length."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pgoutput2json_spark.schema import EVENT_SCHEMA
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    seg_files = sorted(
+        os.path.join(events_dir, f)
+        for f in os.listdir(events_dir)
+        if f.startswith("part-")
+        and f.endswith(".parquet" if fmt == "parquet" else ".txt")
+    )
+    # files are range-partitioned by LSN (sorted name == LSN order); epochs
+    # must be CONTIGUOUS slices or the D2 watermark drops them as replays
+    n_epochs = max(levels)
+    k = max(len(seg_files) // n_epochs, 1)
+    chunks = [seg_files[e * k:(e + 1) * k] for e in range(n_epochs - 1)]
+    chunks.append(seg_files[(n_epochs - 1) * k:])
+
+    def read_ms(table) -> float:
+        t0 = time.time()
+        table.read().count()
+        return round((time.time() - t0) * 1000)
+
+    out: dict = {}
+    for variant, compact_every in (("uncompacted", 0), ("default_compaction", 8)):
+        work = f"{CACHE}/readamp-{variant}-{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        eng = CdcEngine(
+            spark,
+            EngineOptions(
+                table_root=f"{work}/table",
+                events_dir=events_dir,       # unused: batches fed directly
+                checkpoint_dir=f"{work}/ckpt",
+                event_format=fmt,
+                bucket_count=64,
+                merge_mode="mor",            # force deltas even for epoch 0
+                compact_every=compact_every,
+                emit_lineage=False,
+            ),
+        )
+        timings = {}
+        timings[0] = read_ms(eng.table)
+        for e, files in enumerate(chunks):
+            df = (
+                spark.read.schema(EVENT_SCHEMA).parquet(*files)
+                if fmt == "parquet"
+                else spark.read.schema(EVENT_SCHEMA).json(files)
+            )
+            eng.apply_batch(df, epoch_id=e)
+            if (e + 1) in levels:
+                timings[e + 1] = read_ms(eng.table)
+        snap = eng.table.snapshot()
+        out[variant] = {
+            "read_ms_by_epochs": timings,
+            "final_delta_files": sum(len(v) for v in snap.get("deltas", {}).values()),
+            "final_base_files": sum(len(v) for v in snap.get("files", {}).values()),
+        }
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def warmup(spark) -> None:
@@ -282,14 +355,18 @@ def main() -> None:
     queries["cdc_replay_jsonl"] = r2["sec"]
     cdc["jsonl"] = r2
 
-    # --- write-amplification: 8-epoch streaming replay, CoW vs MoR ----------
+    # --- write-amplification: 8-epoch streaming replay, CoW vs MoR vs the
+    # DEFAULT ('auto' picks CoW for the bootstrap epoch, MoR after) ---------
     wa_events = max(N_EVENTS // 8, 1000)
     wa_dir = ensure_writeamp_events(spark, wa_events, FORMAT)
     cdc["writeamp"] = {}
-    for mode in ("cow", "mor"):
+    for mode in ("cow", "mor", "auto"):
         w = run_cdc_stream_writeamp(spark, wa_dir, FORMAT, wa_events * 2, mode)
         cdc["writeamp"][mode] = w
         queries[f"cdc_stream_{mode}"] = w["sec"]
+
+    # --- MoR read-amplification: delta-log growth vs default compaction ----
+    cdc["readamp"] = run_mor_readamp(spark, wa_dir, FORMAT)
 
     # --- pipeline queries ----------------------------------------------------
     import __spark_entry__ as entrymod

