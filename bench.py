@@ -152,6 +152,10 @@ def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) ->
         # understates engine throughput
         "cpu_steal_pct": round(100 * d[7] / tot, 1),
         "cpu_user_pct": round(100 * d[0] / tot, 1),
+        # kernel share: shuffle/page-cache memcpy — the r3 instrumentation
+        # showed this is what explodes when thread count exceeds the VM's
+        # deliverable memory bandwidth (7.9% @8 threads -> 49.2% @32)
+        "cpu_sys_pct": round(100 * d[2] / tot, 1),
     }
 
 

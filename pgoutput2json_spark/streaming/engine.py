@@ -221,6 +221,19 @@ class CdcEngine:
             events = events.filter(F.col("t") == opts.table_filter)
         if cache_events:
             events = events.persist()
+        import time as _time
+
+        timing: dict[str, int] = {}
+        _t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            # coarse per-phase wall clock (driver view) — lands in the commit
+            # summary as timing.<phase>_ms; the Amdahl audit for scaling work
+            nonlocal _t0
+            now = _time.time()
+            timing[f"timing.{phase}_ms"] = int((now - _t0) * 1000)
+            _t0 = now
+
         try:
             committed = table.committed_lsn()
             # one driver action for batch stats + truncate LSN + relation
@@ -236,6 +249,7 @@ class CdcEngine:
                     F.when(F.col("s").isNotNull(), F.struct("w", "s"))
                 ).alias("rels"),
             ).first()
+            _mark("head_agg")
             n_events = int(head["n"])
             if n_events == 0:
                 return {"skipped": True, "empty": True, "epoch": epoch_id}
@@ -328,6 +342,7 @@ class CdcEngine:
                 )
                 .collect()
             )
+            _mark("group_lineage")
             buckets = sorted(int(r["bucket"]) for r in lineage_rows)
             replaced = table.touched_buckets() if truncating else buckets
             target = (
@@ -361,6 +376,7 @@ class CdcEngine:
             else:
                 result = merge_groups(table, grouped, target, obs)
                 new_files = table.write_data_files(result, expected_version + 1)
+            _mark("merge_write")
             merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
 
             lineage_path = None
@@ -369,6 +385,7 @@ class CdcEngine:
             grouped.unpersist()
             for df_p in persisted:
                 df_p.unpersist()
+            _mark("lineage")
 
             summary = {
                 "operation": "cdc-apply",
@@ -382,6 +399,7 @@ class CdcEngine:
                 "lineage": lineage_path,
                 **({"skew.salt": skew_salt} if skew_salt is not None else {}),
                 **{f"merge.{k}": v for k, v in merge_stats.items()},
+                **timing,
             }
             new_max = max(batch_max_lsn, committed)
             props = {
