@@ -1098,6 +1098,79 @@ FROM b
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Gopher hygiene step): flag corpus
+    docs sharing >= 2 distinct 3-word shingles with a held-out eval split
+    (doc_id % 10 == 7).  Probe shingle set broadcast; corpus never
+    shuffled beyond the per-doc hit count."""
+    from pgoutput2json_spark.pipeline.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return decontaminate(corpus, evalset, k=3, min_hits=2)
+
+
+SQL_DECONTAM = f"""
+WITH norm AS (SELECT doc_id, {NORM} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+shl AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 1) + 1),
+           i -> array_to_string(ws[i:i+2], ' ')))) AS s
+  FROM w
+),
+probe AS (SELECT DISTINCT s FROM shl WHERE doc_id % 10 = 7 AND s <> ''),
+corpus AS (SELECT doc_id, s FROM shl WHERE doc_id % 10 <> 7),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits FROM corpus c JOIN probe p USING (s)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) >= 2 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: dup-word / dup-line fractions +
+    top-bigram mode fraction per document."""
+    from pgoutput2json_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REPETITION = f"""
+WITH norm AS (SELECT doc_id, {NORM} AS t, text FROM documents),
+w AS (
+  SELECT doc_id, string_split(t, ' ') AS ws,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM norm
+),
+base AS (
+  SELECT doc_id, len(ws) AS n_words,
+    round((len(ws) - len(list_distinct(ws)))
+          / greatest(len(ws), 1)::DOUBLE, 6) AS dup_word_frac,
+    round((len(ls) - len(list_distinct(ls)))
+          / greatest(len(ls), 1)::DOUBLE, 6) AS dup_line_frac,
+    list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                   i -> array_to_string(ws[i:i+1], ' ')) AS bigrams
+  FROM w
+),
+g AS (SELECT doc_id, unnest(bigrams) AS g FROM base),
+cnt AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_bigrams FROM cnt GROUP BY 1)
+SELECT b.doc_id, b.n_words, b.dup_word_frac, b.dup_line_frac,
+       round(t.top_n / t.n_bigrams::DOUBLE, 6) AS top_bigram_frac,
+       (b.dup_word_frac > 0.6
+        OR round(t.top_n / t.n_bigrams::DOUBLE, 6) > 0.18) AS repetitive
+FROM base b JOIN top t USING (doc_id)
+"""
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5 Bernoulli sampling (re-run- and reshard-stable)."""
     from pgoutput2json_spark.pipeline.sampling import hash_sample
@@ -1326,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "token_transforms": q_token_transforms,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
@@ -1367,6 +1442,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": _sql_image_features(n_feat=16),
         "multimodal_audio_stats": _sql_audio_stats(window_bytes=16),
         "token_transforms": SQL_TOKEN_TRANSFORMS,
+        "decontaminate": SQL_DECONTAM,
+        "repetition_stats": SQL_REPETITION,
         "sample_hash": SQL_SAMPLE_HASH,
         "sample_stratified": SQL_SAMPLE_STRAT,
         "pack_sequences": SQL_PACK,

@@ -55,6 +55,8 @@ PIPELINE_QUERIES = [
     "embedding_neardup_recall",
     "text_langid",
     "text_quality",
+    "decontaminate",
+    "repetition_stats",
     "text_pii_scrub",
     "doc_fingerprint",
     "multimodal_image_features",

@@ -1,0 +1,71 @@
+"""Benchmark decontamination — the standard pretraining-hygiene step
+(n-gram overlap against held-out evaluation sets, as popularized by the
+GPT-3 / Gopher training reports): any training document sharing enough
+distinct k-word shingles with an eval/benchmark document is flagged so it
+can be dropped or audited before training.
+
+Scale shape (the 100 TB pattern): eval sets are tiny (thousands of docs)
+next to the corpus, so the probe shingle set is **broadcast** and the
+corpus side is a map-side semi-join + combinable count — the corpus is
+never shuffled, and the scan reads only (id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pgoutput2json_spark.pipeline.dedup import word_shingles
+
+
+def eval_shingles(
+    eval_docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Distinct k-word shingles of the eval set — the probe table
+    (broadcast side).  Build once per eval suite and reuse across corpus
+    sweeps."""
+    return (
+        eval_docs.select(F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+        .where(F.col("s") != "")
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination report: ``(id, n_hits, contaminated)``.
+
+    ``n_hits`` counts DISTINCT k-word shingles the document shares with the
+    eval set; ``contaminated`` is ``n_hits >= min_hits``.  Every document of
+    the corpus appears exactly once (clean docs report 0), so the output
+    can drive either a filter (``~contaminated``) or an audit join.
+
+    Plan: corpus shingles explode map-side, broadcast-hash-join against the
+    probe set, then one combinable groupBy(id) count — no corpus shuffle
+    beyond the per-doc count aggregation, no Python.
+    """
+    probe = eval_shingles(eval_docs, k, text_col)
+    hits = (
+        docs.select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("s")
+        )
+        .join(F.broadcast(probe), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(min_hits)).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -126,6 +126,73 @@ def pii_scrub(
     return docs.select(F.col(id_col), *counts, scrubbed.alias("text_scrubbed"))
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    dup_word_max: float = 0.6, top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality filters
+    that catch boilerplate/spam which length/stopword scores miss:
+
+    - ``dup_word_frac``: 1 - distinct words / total words;
+    - ``dup_line_frac``: 1 - distinct lines / total lines (raw newlines);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams;
+    - ``repetitive``: either fraction over its threshold.
+
+    dup fractions are per-row Catalyst set arithmetic (no shuffle); the
+    bigram mode uses one explode + combinable count + ``max_by`` per doc —
+    a single hash aggregation at any corpus size.  All fractions rounded to
+    6 dp for exact oracle parity."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            (n_words - F.size(F.array_distinct(w)))
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ).alias("bigrams"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("bigrams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("n_bigrams"))
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, id_col)
+        .select(
+            F.col(id_col),
+            "n_words",
+            "dup_word_frac",
+            "dup_line_frac",
+            F.round(F.col("top_n") / F.col("n_bigrams").cast("double"), 6).alias(
+                "top_bigram_frac"
+            ),
+            (
+                (F.col("dup_word_frac") > F.lit(dup_word_max))
+                | (F.round(F.col("top_n") / F.col("n_bigrams").cast("double"), 6)
+                   > F.lit(top_bigram_max))
+            ).alias("repetitive"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full content md5 + a 60-bit integer fingerprint
     (usable as a dedup/shard key) + first-8-word prefix hash (header

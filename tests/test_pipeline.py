@@ -227,3 +227,41 @@ def test_neardup_recall_telemetry(spark):
     assert row["n_exact"] == 5
     assert row["n_banded"] == 5  # identical vectors share every bucket
     assert row["recall"] == 1.0
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from pgoutput2json_spark.pipeline.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words about spark plans here"),
+         (3, "quick brown fox appears again in this training text")],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, evalset, k=3,
+                                                 min_hits=2).collect()}
+    assert len(out) == 3                      # every corpus doc reported
+    assert out[1]["contaminated"]             # shares several 3-grams
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_hits"] == 1              # only 'quick brown fox'
+    assert not out[3]["contaminated"]         # below min_hits=2
+
+
+def test_repetition_stats_catches_repetitive_docs(spark):
+    from pgoutput2json_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "a perfectly normal sentence with varied healthy words"),
+         (3, "line one\nline one\nline one\nunique line")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["repetitive"] and out[1]["dup_word_frac"] == 0.875
+    assert out[1]["top_bigram_frac"] == 1.0   # every bigram is 'spam spam'
+    assert not out[2]["repetitive"] and out[2]["dup_word_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.5     # 2 of 4 lines are repeats
