@@ -1,8 +1,8 @@
 """Capture physical-plan evidence for the flagship paths into
-BENCH/PLANS_r2.md: predicate pushdown / column pruning at the parquet scan,
+BENCH/PLANS_r3.md: predicate pushdown / column pruning at the parquet scan,
 broadcast vs shuffle joins, WholeStageCodegen spans, exchange counts.
 
-Run: python tools/plan_audit.py   (writes BENCH/PLANS_r2.md)
+Run: python tools/plan_audit.py   (writes BENCH/PLANS_r3.md)
 """
 
 import io
@@ -133,16 +133,39 @@ section("ANN GEMM top-k (mapInPandas GEMM + tiny candidate shuffle)", digest(for
 ded = E.queries()["dedup_exact"](spark, SF)
 section("Exact dedup (column pruning: 2 of 5 columns read)", digest(formatted(ded)))
 
+# 6. text-array decode default path — zero Python stages (VERDICT r2 #4)
+from pgoutput2json_spark.functions.decode import pg_text_array
+
+ta = spark.createDataFrame([("{a,b}",)], "v string").select(pg_text_array(F.col("v")))
+plan6 = formatted(ta)
+section("Text-array decode, default catalyst strategy (no Python stage)", digest(plan6))
+sections.append(
+    f"Python stages in the default text-array decode plan: "
+    f"{plan6.count('EvalPython')} (must be 0; the exact pandas kernel is the "
+    f"opt-in strategy for pathological quoting).\n"
+)
+
+# 7. decontamination — probe shingles broadcast, corpus never shuffled
+dec = E.queries()["decontaminate"](spark, SF)
+plan7 = formatted(dec)
+section("Decontamination (broadcast eval-shingle semi-join)",
+        digest(plan7, keep_details=("BroadcastExchange", "BroadcastHashJoin")))
+sections.append(
+    f"Decontamination joins: BroadcastHashJoin={plan7.count('BroadcastHashJoin')}, "
+    f"SortMergeJoin={plan7.count('SortMergeJoin')} (probe set broadcasts; the "
+    f"corpus side only exchanges the per-doc hit counts).\n"
+)
+
 shutil.rmtree(root, ignore_errors=True)
 
 hdr = (
-    "# Physical-plan audit (round 2) — generated by tools/plan_audit.py\n\n"
+    "# Physical-plan audit (round 3) — generated by tools/plan_audit.py\n\n"
     "Evidence that the declared plans compile to the intended physical "
     "strategies: filters/projections reach the parquet scans, the snapshot-"
     "cut join is broadcast, Python appears only as Arrow-batched "
     "mapInPandas, and whole-stage codegen spans the fold expressions.\n\n"
 )
-with open("/root/repo/BENCH/PLANS_r2.md", "w") as f:
+with open("/root/repo/BENCH/PLANS_r3.md", "w") as f:
     f.write(hdr + "\n".join(sections))
-print("wrote BENCH/PLANS_r2.md")
+print("wrote BENCH/PLANS_r3.md")
 spark.stop()
