@@ -87,7 +87,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     s.add_argument("--what", default="state", choices=["state", "snapshots", "lineage"])
 
+    m = sub.add_parser("maintain", help="compact small files / fold MoR delta "
+                       "logs, then expire unreferenced snapshots")
+    m.add_argument("--table", required=True)
+    m.add_argument("--max-files", type=int, default=8,
+                   help="compact buckets with more files than this")
+    m.add_argument("--keep-last", type=int, default=4,
+                   help="snapshots whose files stay reachable")
+
     args = p.parse_args(argv)
+    # embeddable: getOrCreate may hand back a caller's live session — only
+    # stop a session this process created itself
+    preexisting = SparkSession.getActiveSession() is not None
     spark = build_spark(args.master, args.shuffle_partitions, f"pg2spark-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -169,6 +180,21 @@ def main(argv: list[str] | None = None) -> int:
             "published_epochs": pub_engine.published_epochs,
         }))
 
+    elif args.cmd == "maintain":
+        from pgoutput2json_spark.lake.table import LakeTable
+
+        tbl = LakeTable(spark, args.table)
+        t0 = time.time()
+        snap = tbl.compact_buckets(args.max_files)
+        deleted = tbl.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps({
+            "sec": round(time.time() - t0, 2),
+            "compacted": bool(snap),
+            "compacted_buckets": (snap or {}).get("summary", {}).get("buckets"),
+            "files_deleted": deleted,
+            "version": tbl.current_version(),
+        }))
+
     elif args.cmd == "show":
         from pgoutput2json_spark.lake.table import LakeTable
 
@@ -185,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
             paths = [f"{tbl.root}/{x}" for x in paths if x]
             if paths:
                 spark.read.parquet(*paths).orderBy("epoch", "bucket").show(100)
-    spark.stop()
+    if not preexisting:
+        spark.stop()
     return 0
 
 

@@ -51,3 +51,38 @@ def test_cli_generate_then_publish(tmp_path):
                 with open(root / part / f) as fh:
                     n += sum(1 for _ in fh)
     assert n == 2000
+
+
+def test_cli_maintain(tmp_path, spark):
+    """generate -> replay (MoR forces delta logs) -> maintain compacts and
+    reports; a second maintain is a no-op."""
+    import json as _json
+
+    from pgoutput2json_spark.cli import main
+    from tests.util import ev, make_engine, write_jsonl
+
+    # build a table with delta logs: forced MoR over several batches
+    eng = make_engine(spark, str(tmp_path), merge_mode="mor", bucket_count=2,
+                      compact_every=0)
+    for e in range(6):
+        write_jsonl(
+            [ev("I", e * 100 + i + 1, r=[f"d{e}-{i}", "[1]", "1", "web"])
+             for i in range(20)],
+            str(tmp_path / "events"), filename=f"{e:03d}.jsonl")
+        from pgoutput2json_spark.sources.events import read_events
+        eng.apply_batch(read_events(spark, str(tmp_path / "events"), "jsonl"), e)
+    snap = eng.table.snapshot()
+    assert sum(len(v) for v in snap.get("deltas", {}).values()) > 4
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--master", "local[2]", "maintain",
+                   "--table", str(tmp_path / "table"), "--max-files", "2"])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["compacted"] and out["compacted_buckets"]
+    # delta logs folded into base
+    snap2 = eng.table.snapshot()
+    assert sum(len(v) for v in snap2.get("deltas", {}).values()) == 0
+    assert eng.table.read().count() == 120
