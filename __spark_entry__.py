@@ -673,11 +673,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-recall telemetry at a LOW threshold (0.25 — deep in the
     random-pair tail where SRP recall is inherently small): one row of
-    (n_exact, n_banded, recall).  The exact side brute-forces the sample;
-    the oracle recomputes n_exact independently (brute force) so the
-    reported recall denominator is verified, not engine-trusted."""
+    (n_exact, n_banded, recall).  The exact side brute-forces a
+    deterministic md5 hash SAMPLE (the operator's documented 100 TB usage:
+    calibrate on a sample, never brute-force the corpus — O(s²) stays
+    bounded as sf grows); the oracle recomputes n_exact independently so
+    the reported recall denominator is verified, not engine-trusted."""
     return sim.neardup_recall(
-        _emb(spark, sf_dir), dim=64, threshold=0.25, planes=8, bands=3
+        _emb(spark, sf_dir), dim=64, threshold=0.25, planes=8, bands=3,
+        sample_fraction=0.3,
     )
 
 
@@ -706,17 +709,25 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.99
 
 
 def _sql_neardup_recall(dim: int = 64, planes: int = 8, bands: int = 3,
-                        threshold: float = 0.25) -> str:
+                        threshold: float = 0.25,
+                        sample_fraction: float = 0.3) -> str:
     """Recall-telemetry oracle: n_exact from independent brute force (the
     verified denominator); n_banded replays the engine's banding spec (the
-    numerator is definitionally banding-dependent)."""
-    banded = _sql_srp_neardup(dim, planes, bands, threshold)
+    numerator is definitionally banding-dependent).  Both sides run over
+    the same deterministic md5 hash sample the engine uses (the 100 TB
+    calibration shape — brute force on a sample, never the corpus)."""
+    banded = _sql_srp_neardup(dim, planes, bands, threshold, src="samp")
     return f"""
-WITH brute AS (
+WITH samp AS (
+  SELECT * FROM embeddings
+  WHERE {MD5L.format(x='vec_id::VARCHAR')} / 1152921504606846976.0
+        < {sample_fraction}
+),
+brute AS (
   SELECT round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
 ),
 ex AS (SELECT count(*) AS n_exact FROM brute WHERE cos >= {threshold}),
 bd AS (SELECT count(*) AS n_banded FROM ({banded}) t)
@@ -727,7 +738,7 @@ FROM ex, bd
 
 
 def _sql_srp_neardup(dim: int = 64, planes: int = 8, bands: int = 3,
-                     threshold: float = 0.5) -> str:
+                     threshold: float = 0.5, src: str = "embeddings") -> str:
     return f"""
 WITH pl AS (
   SELECT jg // {planes} AS band, jg % {planes} AS j, d,
@@ -736,7 +747,7 @@ WITH pl AS (
 ),
 comp AS (
   SELECT e.vec_id, pl.band, pl.j, sum(e.embedding[pl.d + 1]::DOUBLE * pl.h) AS dp
-  FROM embeddings e JOIN pl ON true
+  FROM {src} e JOIN pl ON true
   GROUP BY e.vec_id, pl.band, pl.j
 ),
 buck AS (
@@ -753,8 +764,8 @@ SELECT c.id_a, c.id_b,
        round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
               sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 4) AS cos
-FROM cand c JOIN embeddings x ON x.vec_id = c.id_a
-            JOIN embeddings y ON y.vec_id = c.id_b
+FROM cand c JOIN {src} x ON x.vec_id = c.id_a
+            JOIN {src} y ON y.vec_id = c.id_b
 WHERE round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
       (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
        sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 4) >= {threshold}
