@@ -82,6 +82,11 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle spill dir override (BENCH_LOCAL_DIR): jstack showed merge-
+        # exchange threads in FileOutputStream.writeBytes, but an A/B against
+        # /dev/shm measured no win (104.3 vs 101.4 s at 32M events) — the
+        # page cache already absorbs these writes, so the default stays /tmp
+        .config("spark.local.dir", os.environ.get("BENCH_LOCAL_DIR", "/tmp"))
         .getOrCreate()
     )
 

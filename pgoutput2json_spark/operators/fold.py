@@ -167,5 +167,15 @@ def apply_step(fields: list[tuple[str, str]]):
 def fold_final_state(
     evs: Column, init_state: Column, fields: list[tuple[str, str]]
 ) -> Column:
-    """Fold the sorted event array over the initial (target-row) state."""
-    return F.aggregate(evs, init_state, apply_step(fields))
+    """Fold the sorted event array over the initial (target-row) state.
+
+    Fast path: after the snapshot cut most keys carry exactly ONE residual
+    event, and ``F.aggregate`` (ArrayAggregate) is a CodegenFallback —
+    jstack sampling showed its interpreted per-step eval (CreateNamedStruct
+    allocations) hot during the merge projection.  A single event applies
+    as one direct ``apply_step`` expression, which stays inside whole-stage
+    codegen; only multi-event chains take the interpreted fold."""
+    step = apply_step(fields)
+    return F.when(
+        F.size(evs) == 1, step(init_state, F.element_at(evs, 1))
+    ).otherwise(F.aggregate(evs, init_state, step))
