@@ -1,0 +1,74 @@
+"""North-rule packaging evidence: the engine runs via ``spark-submit
+--py-files pgoutput2json_spark.zip`` — the deployment shape a real cluster
+uses.  The test zips the package, submits a driver script from a NEUTRAL
+working directory (imports must resolve from the zip, not the repo), and
+drives generate -> replay end-to-end in a fresh JVM."""
+
+import json
+import os
+import subprocess
+import zipfile
+
+import pytest
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = """\
+import sys
+from pgoutput2json_spark.cli import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def _build_zip(path: str) -> None:
+    pkg = os.path.join(REPO, "pgoutput2json_spark")
+    with zipfile.ZipFile(path, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def _submit(cwd, zip_path, runner, *args):
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, runner, *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    return json.loads(lines[-1]) if lines else {}
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_py_files_generate_replay(tmp_path):
+    zip_path = str(tmp_path / "pgoutput2json_spark.zip")
+    _build_zip(zip_path)
+    runner = str(tmp_path / "runner.py")
+    with open(runner, "w") as f:
+        f.write(RUNNER)
+
+    out = _submit(
+        str(tmp_path), zip_path, runner,
+        "generate", "--events-dir", str(tmp_path / "ev"),
+        "--n-events", "5000", "--n-keys", "500", "--snapshot-keys", "100",
+        "--format", "jsonl", "--n-files", "4",
+    )
+    assert out["generated"] == 5000
+
+    out = _submit(
+        str(tmp_path), zip_path, runner,
+        "replay", "--events-dir", str(tmp_path / "ev"),
+        "--table", str(tmp_path / "table"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--format", "jsonl", "--batch-mode",
+    )
+    s = out["last_summary"]
+    assert s["operation"] == "cdc-apply"
+    assert int(s["n-events"]) == 5100  # 5000 stream + 100 snapshot (w=0) events
+    # exactly-once marker + lineage landed in the same commit
+    assert int(s["max-lsn"]) > 0 and s["lineage"]
