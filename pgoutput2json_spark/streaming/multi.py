@@ -39,6 +39,10 @@ class MultiTableOptions:
     emit_lineage: bool = True
     apply_mode: str = "exact"
     merge_mode: str = "auto"
+    #: per-table auto-maintenance + skew feedback, forwarded to each
+    #: per-table engine (same semantics as EngineOptions)
+    compact_every: int = 8
+    skew_feedback: object | None = None
     #: per-table applies are independent Spark jobs (disjoint LakeTables);
     #: submit up to this many concurrently from the driver — Spark's
     #: scheduler interleaves their stages, so a publication with many small
@@ -84,6 +88,8 @@ class MultiTableCdcEngine:
                 emit_lineage=self.opts.emit_lineage,
                 apply_mode=self.opts.apply_mode,
                 merge_mode=self.opts.merge_mode,
+                compact_every=self.opts.compact_every,
+                skew_feedback=self.opts.skew_feedback,
             ),
         )
         self._engines[table] = eng
