@@ -79,6 +79,14 @@ def pg_number_array(col: Column, element_type: str = "int", max_depth: int = 4) 
     return F.when(col.isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(expr)
 
 
+#: one quote-free run inside/outside a quoted segment: literal chars or
+#: backslash-escaped pairs (PG escapes ``\"`` and ``\\``, JsonUtils.cs:103-182)
+_QSEG = r'[^"\\]*(?:\\.[^"\\]*)*'
+#: zero-width assertion that the current position is OUTSIDE any quoted
+#: segment: an even number of unescaped quote delimiters remain to the end
+_OUTSIDE_QUOTES = r'(?=(?:' + _QSEG + r'"' + _QSEG + r'")*' + _QSEG + r"\z)"
+
+
 def pg_text_array_catalyst(col: Column, max_depth: int = 4) -> Column:
     """PG text-array literal -> array<string>, pure Catalyst (no Python):
     brace->bracket, unquoted-NULL -> JSON null, unquoted tokens JSON-quoted,
@@ -87,24 +95,29 @@ def pg_text_array_catalyst(col: Column, max_depth: int = 4) -> Column:
     JsonUtils.cs:103-182) are JSON-compatible, so quoted elements pass
     through verbatim.
 
-    Quoted elements with embedded commas are JSON-native and parse fine;
-    quoted elements with embedded *braces* are the one shape translate
-    cannot see through — those rows are detected (regexp over the quoted
-    segments) and yield NULL, never silently corrupted data; use the exact
-    pandas strategy (``pg_text_array(col, strategy='pandas')``) for such
-    corpora."""
+    Quoted elements with embedded commas (any number) are JSON-native and
+    parse exactly: both rewrite regexps carry an outside-quotes guard (an
+    even count of unescaped ``"`` must remain to end-of-value), so tokens
+    and ``NULL`` literals inside quoted segments are never touched.  Quoted
+    elements with embedded *braces* are the one shape ``translate`` cannot
+    see through — those rows are detected (regexp over the quoted segments)
+    and yield NULL, never silently corrupted data; use the exact pandas
+    strategy (``pg_text_array(col, strategy='pandas')``) for such corpora."""
     brace_in_quotes = F.regexp_like(
         col, F.lit(r'"(?:[^"\\]|\\.)*?[{}](?:[^"\\]|\\.)*"')
     )
     json_text = F.translate(col, "{}", "[]")
     json_text = F.regexp_replace(
-        json_text, r"(?i)(?<=[\[,])\s*NULL\s*(?=[,\]])", "null"
+        json_text, r"(?i)(?<=[\[,])\s*NULL\s*(?=[,\]])" + _OUTSIDE_QUOTES, "null"
     )
     # JSON-quote remaining unquoted tokens (they contain no specials by PG's
-    # own quoting rules; `null` was already lowered above)
+    # own quoting rules; `null` was already lowered above).  The
+    # outside-quotes lookahead stops the pattern matching fragments of a
+    # quoted element such as the ` b` in `["a, b, c"]` (ADVICE r3 high).
     json_text = F.regexp_replace(
         json_text,
-        r"(?<=[\[,])\s*(?!null\s*[,\]])([^,\[\]\"\s][^,\[\]\"]*?)\s*(?=[,\]])",
+        r"(?<=[\[,])\s*(?!null\s*[,\]])([^,\[\]\"\s][^,\[\]\"]*?)\s*(?=[,\]])"
+        + _OUTSIDE_QUOTES,
         "\"$1\"",
     )
     lead = F.length(

@@ -232,10 +232,21 @@ class WebhookTransport:
                 "webhook-id": f"{first_w}_{last_w}",
             }
             if secret is not None:
+                # Standard-Webhooks `whsec_` secrets are base64-encoded key
+                # material (reference WebhookPublisher.cs GetKeyFromSecret);
+                # plain secrets fall back to utf-8 bytes (ADVICE r3).
+                key = secret.encode()
+                if secret.startswith("whsec_"):
+                    try:
+                        key = base64.b64decode(
+                            secret[len("whsec_"):], validate=True
+                        )
+                    except Exception:  # noqa: BLE001 — not base64: utf-8 key
+                        pass
                 ts = str(int(time_mod.time()))
                 signed = f"{headers['webhook-id']}.{ts}.".encode() + body
                 sig = base64.b64encode(
-                    hmac_mod.new(secret.encode(), signed, hashlib.sha256).digest()
+                    hmac_mod.new(key, signed, hashlib.sha256).digest()
                 ).decode()
                 headers["webhook-timestamp"] = ts
                 headers["webhook-signature"] = f"v1,{sig}"

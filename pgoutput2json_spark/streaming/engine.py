@@ -99,6 +99,13 @@ class EngineOptions:
     #: as a side job.
     compact_every: int = 8
     compact_max_files: int = 8
+    #: snapshot-metadata expiry, decoupled from compaction (ADVICE r3):
+    #: every N epochs drop snapshots beyond ``expire_keep_last`` and GC
+    #: files referenced only by them.  0 = disabled (the default) — out of
+    #: the box every version stays time-travelable; long-running streams
+    #: should enable it (the soak bench runs expire_every=8) or run the
+    #: ``maintain`` CLI as a side job, accepting the keep_last horizon.
+    expire_every: int = 0
     expire_keep_last: int = 4
     #: cache the raw event batch across the engine's passes.  None = auto:
     #: True for jsonl (expensive to re-parse), False for columnar (parquet)
@@ -221,6 +228,11 @@ class CdcEngine:
             events = events.filter(F.col("t") == opts.table_filter)
         if cache_events:
             events = events.persist()
+        # every DataFrame persisted during this batch lands here so the
+        # finally block releases it even when the batch throws (e.g.
+        # CommitConflict) — ADVICE r3: success-path-only unpersist leaked
+        # caches for the session lifetime
+        batch_caches: list = []
         import time as _time
 
         timing: dict[str, int] = {}
@@ -306,7 +318,6 @@ class CdcEngine:
                 parsed = parsed.filter(F.col("op") != "T")
 
             flat = explode_key_updates(parsed, field_names)
-            persisted: list = []
             skew_salt = None
             if opts.apply_mode == "lww":
                 if deferred:
@@ -320,10 +331,11 @@ class CdcEngine:
                                             salt=skew_salt).persist()
             else:
                 flat = snapshot_cut(flat, field_names, n_events_hint=n_events,
-                                    persist_registry=persisted)
+                                    persist_registry=batch_caches)
                 if deferred:
                     flat = decode_fields(flat, fields)
                 grouped = group_events(flat, field_names).persist()
+            batch_caches.append(grouped)
 
             # ONE pass over the grouped batch yields BOTH the touched-bucket
             # list (merge pruning) and the per-bucket lineage stats (M1) —
@@ -382,9 +394,6 @@ class CdcEngine:
             lineage_path = None
             if opts.emit_lineage:
                 lineage_path = self._write_lineage(lineage_rows, epoch_id)
-            grouped.unpersist()
-            for df_p in persisted:
-                df_p.unpersist()
             _mark("lineage")
 
             summary = {
@@ -431,11 +440,25 @@ class CdcEngine:
             ):
                 table.compact_buckets(opts.compact_max_files,
                                       summary={"epoch": epoch_id})
+            # Snapshot expiry is decoupled from compaction (ADVICE r3):
+            # expiring caps the time-travel horizon at `expire_keep_last`
+            # versions, so it only runs when explicitly enabled.
+            if (
+                opts.expire_every
+                and epoch_id >= 0
+                and (int(epoch_id) + 1) % int(opts.expire_every) == 0
+            ):
                 table.expire_snapshots(keep_last=opts.expire_keep_last)
+                summary["expire.keep-last"] = opts.expire_keep_last
             if opts.post_commit_hook is not None:
                 opts.post_commit_hook(summary)
             return summary
         finally:
+            for df_c in batch_caches:
+                try:
+                    df_c.unpersist()
+                except Exception:  # noqa: BLE001 — session may be stopping
+                    pass
             if cache_events:
                 events.unpersist()
 

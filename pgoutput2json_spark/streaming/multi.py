@@ -42,6 +42,8 @@ class MultiTableOptions:
     #: per-table auto-maintenance + skew feedback, forwarded to each
     #: per-table engine (same semantics as EngineOptions)
     compact_every: int = 8
+    expire_every: int = 0
+    expire_keep_last: int = 4
     skew_feedback: object | None = None
     #: per-table applies are independent Spark jobs (disjoint LakeTables);
     #: submit up to this many concurrently from the driver — Spark's
@@ -89,6 +91,8 @@ class MultiTableCdcEngine:
                 apply_mode=self.opts.apply_mode,
                 merge_mode=self.opts.merge_mode,
                 compact_every=self.opts.compact_every,
+                expire_every=self.opts.expire_every,
+                expire_keep_last=self.opts.expire_keep_last,
                 skew_feedback=self.opts.skew_feedback,
             ),
         )

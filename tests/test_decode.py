@@ -79,6 +79,25 @@ def test_text_array_quoted_with_commas(spark, strategy):
     assert got == ["a,b", "plain", "x, y"]
 
 
+@pytest.mark.parametrize("strategy", ["catalyst", "pandas"])
+def test_text_array_quoted_multi_comma(spark, strategy):
+    # ADVICE r3 high: 2+ embedded commas used to trip the catalyst
+    # token-requoting regexp inside the quoted segment -> malformed JSON
+    assert one(spark, _ta(strategy), '{"a, b, c"}') == ["a, b, c"]
+    got = one(spark, _ta(strategy), '{x,"one, two, three, four",y}')
+    assert got == ["x", "one, two, three, four", "y"]
+    # escaped quote + multiple commas in one element
+    got = one(spark, _ta(strategy), '{"he said \\"hi, there, friend\\"",tail}')
+    assert got == ['he said "hi, there, friend"', "tail"]
+
+
+@pytest.mark.parametrize("strategy", ["catalyst", "pandas"])
+def test_text_array_quoted_null_token_not_lowered(spark, strategy):
+    # a NULL *inside* a quoted element is data, not a null literal
+    got = one(spark, _ta(strategy), '{"a, NULL, b",NULL}')
+    assert got == ["a, NULL, b", None]
+
+
 def test_text_array_quoted_with_braces(spark):
     # JsonUtilsTest.cs:29-67 — braces inside quotes: pandas is exact;
     # catalyst detects the shape and yields NULL (safe), never corrupt data

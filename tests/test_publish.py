@@ -240,15 +240,28 @@ def test_webhook_transport_posts_ordered_batches(spark, wal, http_collector):
         assert b["webhook_id"] == f"{ws[0]}_{ws[-1]}"
 
 
-def test_webhook_hmac_signature_verifies(spark, wal, http_collector):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("kind", ["whsec", "plain"])
+def test_webhook_hmac_signature_verifies(spark, wal, http_collector, kind):
     """Standard-Webhooks signing (reference WebhookPublisher.cs:90-304):
-    webhook-signature = v1,base64(HMAC-SHA256(secret, id.timestamp.body))
-    — recomputed and verified on the receiving side."""
+    webhook-signature = v1,base64(HMAC-SHA256(key, id.timestamp.body)).
+    A ``whsec_``-prefixed secret is base64 key material and must be decoded
+    before keying the HMAC (reference GetKeyFromSecret; ADVICE r3); a plain
+    secret keys with its utf-8 bytes.  Recomputed and verified on the
+    receiving side with the standard-conforming key derivation."""
     import base64
     import hashlib
     import hmac
 
-    secret = "whsec_test_key"
+    if kind == "whsec":
+        key = b"\x01\x02standard-webhooks-key-material\xff"
+        secret = "whsec_" + base64.b64encode(key).decode()
+    else:
+        secret = "plain_test_key"
+        key = secret.encode()
+    _Collector.received.clear()
     wt = WebhookTransport(
         f"http://127.0.0.1:{http_collector.server_port}/ingest", secret=secret
     )
@@ -259,7 +272,7 @@ def test_webhook_hmac_signature_verifies(spark, wal, http_collector):
         assert b["webhook_timestamp"] is not None
         signed = f"{b['webhook_id']}.{b['webhook_timestamp']}.".encode() + b["body"]
         want = base64.b64encode(
-            hmac.new(secret.encode(), signed, hashlib.sha256).digest()
+            hmac.new(key, signed, hashlib.sha256).digest()
         ).decode()
         assert b["webhook_signature"] == f"v1,{want}"
 

@@ -112,6 +112,7 @@ def test_auto_compaction_and_expiry(spark, tmpdir_path):
     eng = make_engine(spark, tmpdir_path, bucket_count=2)
     eng.opts.compact_every = 3
     eng.opts.compact_max_files = 2
+    eng.opts.expire_every = 3
     eng.opts.expire_keep_last = 2
     lsn = 1
     for epoch in range(6):
