@@ -1330,6 +1330,147 @@ FROM toks t JOIN ent USING (vec_id)
 """
 
 
+def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-level multi-table ingest (reference DataExporter.cs:
+    44-101, SqlitePublisher.cs:106-141 auto-create): ONE mixed event stream
+    carrying three tables — two doc-shaped tables split even/odd plus a
+    2-column stats table keyed by ``source`` — applied through the real
+    MultiTableCdcEngine (per-table lake tables auto-created from relation
+    messages, independent LSN watermarks, thread-pooled applies).  Returns
+    the union of the three final states."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pgoutput2json_spark.streaming.multi import (
+        MultiTableCdcEngine,
+        MultiTableOptions,
+    )
+
+    docs = _docs(spark, sf_dir)
+    noarr = F.lit(None).cast("array<string>")
+
+    def doc_rel(tbl):
+        return (
+            f'["{tbl}",["doc_id",1,20],["text",0,25],'
+            f'["source",0,25],["n_chars",0,20]]'
+        )
+
+    def full_r(src, nch):
+        return F.array(
+            F.col("doc_id").cast("string"), F.col("text"),
+            src, nch.cast("string"),
+        )
+
+    def doc_events(df, tbl, op, lsn0, src, nch):
+        has_r = op != "D"
+        return df.select(
+            F.lit(op).alias("c"),
+            (F.lit(lsn0) + F.col("doc_id")).cast("long").alias("w"),
+            F.lit(tbl).alias("t"),
+            F.lit(None).cast("string").alias("s"),
+            (F.array(F.col("doc_id").cast("string")) if op == "D" else noarr).alias("k"),
+            (full_r(src, nch) if has_r else noarr).alias("r"),
+        )
+
+    even, odd = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    ev = doc_events(even, "public.d_even", "I", 1, F.col("source"), F.col("n_chars"))
+    ev = ev.unionByName(doc_events(
+        even.filter(F.col("doc_id") % 6 == 0), "public.d_even", "U",
+        10_000_000, F.lit("even-upd"), F.col("n_chars") + 500))
+    ev = ev.unionByName(doc_events(
+        even.filter(F.col("doc_id") % 8 == 0), "public.d_even", "D",
+        20_000_000, F.lit(None), F.lit(None)))
+    ev = ev.unionByName(doc_events(odd, "public.d_odd", "I", 1, F.col("source"), F.col("n_chars")))
+    ev = ev.unionByName(doc_events(
+        odd.filter(F.col("doc_id") % 5 == 0), "public.d_odd", "D",
+        20_000_000, F.lit(None), F.lit(None)))
+
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    stats_ev = stats.select(
+        F.lit("I").alias("c"),
+        (F.lit(40_000_000)
+         + F.row_number().over(Window.orderBy("source"))).cast("long").alias("w"),
+        F.lit("public.src_stats").alias("t"),
+        F.lit(None).cast("string").alias("s"),
+        noarr.alias("k"),
+        F.array(F.col("source"), F.col("n_docs").cast("string")).alias("r"),
+    )
+    ev = ev.unionByName(stats_ev)
+
+    # relation message rides on each table's lowest-LSN event (auto-create)
+    rel_json = (
+        F.when(F.col("t") == "public.d_even", F.lit(doc_rel("public.d_even")))
+        .when(F.col("t") == "public.d_odd", F.lit(doc_rel("public.d_odd")))
+        .otherwise(F.lit(
+            '["public.src_stats",["source",1,25],["n_docs",0,20]]'
+        ))
+    )
+    rank = F.row_number().over(Window.partitionBy("t").orderBy("w"))
+    ev = ev.withColumn("s", F.when(rank == 1, rel_json))
+
+    root = tempfile.mkdtemp(prefix="pg2spark-multi-")
+    try:
+        mt = MultiTableCdcEngine(
+            spark,
+            MultiTableOptions(
+                warehouse_root=f"{root}/wh",
+                events_dir=f"{root}/events",
+                checkpoint_dir=f"{root}/ckpt",
+                bucket_count=4,
+                emit_lineage=False,
+            ),
+        )
+        mt.apply_batch(ev, epoch_id=0)
+
+        def state(tbl):
+            return mt.engine_for(tbl).table.read()
+
+        out = (
+            state("public.d_even")
+            .select(
+                F.lit("public.d_even").alias("tbl"),
+                F.col("doc_id").cast("string").alias("row_key"),
+                "source", F.col("n_chars").alias("n_val"),
+            )
+            .unionByName(
+                state("public.d_odd").select(
+                    F.lit("public.d_odd").alias("tbl"),
+                    F.col("doc_id").cast("string").alias("row_key"),
+                    "source", F.col("n_chars").alias("n_val"),
+                )
+            )
+            .unionByName(
+                state("public.src_stats").select(
+                    F.lit("public.src_stats").alias("tbl"),
+                    F.col("source").alias("row_key"),
+                    "source", F.col("n_docs").alias("n_val"),
+                )
+            )
+        )
+        # materialize before the warehouse tempdir is removed (the driver
+        # acts on the returned DataFrame after this function exits)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CDC_MULTI_TABLE = """
+SELECT 'public.d_even' AS tbl, CAST(doc_id AS VARCHAR) AS row_key,
+       CASE WHEN doc_id % 6 = 0 THEN 'even-upd' ELSE source END AS source,
+       n_chars + CASE WHEN doc_id % 6 = 0 THEN 500 ELSE 0 END AS n_val
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 0
+UNION ALL
+SELECT 'public.d_odd', CAST(doc_id AS VARCHAR), source, n_chars
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+UNION ALL
+SELECT 'public.src_stats', source, source, count(*)
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1388,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_default_json": q_cdc_default_json,
         "cdc_composite_key": q_cdc_composite_key,
         "cdc_row_filter": q_cdc_row_filter,
+        "cdc_multi_table": q_cdc_multi_table,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1430,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_default_json": SQL_CDC_DEFAULT_JSON,
         "cdc_composite_key": SQL_CDC_COMPOSITE_KEY,
         "cdc_row_filter": SQL_CDC_ROW_FILTER,
+        "cdc_multi_table": SQL_CDC_MULTI_TABLE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _sql_ngram_jaccard(threshold=0.22, max_df=20),
         "dedup_minhash_lsh": _sql_minhash_lsh(),

@@ -119,6 +119,91 @@ def ensure_events(spark, n_events: int, fmt: str) -> str:
     return path
 
 
+def ensure_multi_events(spark, n_events: int, fmt: str, n_tables: int = 4) -> str:
+    """ONE mixed WAL carrying ``n_tables`` tables (n_events total): the
+    reference's publication model is inherently multi-table
+    (DataExporter.cs:44-101).  Each table's slice is an independent
+    deterministic stream (seed 42+i) whose first event carries the base
+    relation message (auto-create)."""
+    from functools import reduce
+
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+
+    path = f"{CACHE}/multi-events-{n_events}-{n_tables}-{fmt}"
+    marker = f"{path}/_BENCH_READY"
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    per = n_events // n_tables
+    parts = [
+        generate_events(
+            spark,
+            GeneratorSpec(
+                n_events=per,
+                n_keys=max(per // 10, 100),
+                seed=42 + i,
+                table=f"public.docs{i}",
+                relation_at=0,
+                hot_pct=10,
+                max_tokens=64,
+            ),
+        )
+        for i in range(n_tables)
+    ]
+    write_events(reduce(lambda a, b: a.unionByName(b), parts), path, fmt,
+                 max(CPUS * 2, 16))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_cdc_multi_table(spark, events_dir: str, fmt: str, n_events: int,
+                        n_tables: int = 4) -> dict:
+    """Multi-table replay: one mixed batch split per table, applied through
+    per-table engines on the driver thread pool (streaming.multi)."""
+    from pgoutput2json_spark.streaming.multi import (
+        MultiTableCdcEngine,
+        MultiTableOptions,
+    )
+
+    work = f"{CACHE}/multi-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    mt = MultiTableCdcEngine(
+        spark,
+        MultiTableOptions(
+            warehouse_root=f"{work}/wh",
+            events_dir=events_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format=fmt,
+            bucket_count=16,
+            max_parallel_tables=n_tables,
+        ),
+    )
+    c0 = _cpu_stat()
+    t0 = time.time()
+    mt.replay_batch()
+    dt = time.time() - t0
+    c1 = _cpu_stat()
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = max(sum(d), 1)
+    rows = {t: mt.engine_for(t).table.read().count() for t in mt.tables()}
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "sec": round(dt, 2),
+        "n_events": n_events,
+        "n_tables": n_tables,
+        "events_per_sec": round(n_events / dt),
+        "rows_per_table": rows,
+        "cpu_user_pct": round(100 * d[0] / tot, 1),
+        "cpu_sys_pct": round(100 * d[2] / tot, 1),
+        "cpu_steal_pct": round(100 * d[7] / tot, 1),
+    }
+
+
 def _cpu_stat() -> list[int]:
     with open("/proc/stat") as f:
         return list(map(int, f.readline().split()[1:9]))
@@ -360,11 +445,28 @@ def main() -> None:
     queries[f"cdc_replay_{FORMAT}"] = r["sec"]
     cdc[FORMAT] = r
 
-    jsonl_events = max(N_EVENTS // 4, 1000)
+    # jsonl at FULL volume (r3 ran 1/4 volume, which left the number fixed-
+    # overhead-bound: ~5 s of job scheduling dominates a 500k-event replay;
+    # equal volume makes the wire-path/parquet comparison apples-to-apples)
+    jsonl_events = max(N_EVENTS, 1000)
     ev_dir2 = ensure_events(spark, jsonl_events, "jsonl")
     r2 = run_cdc_replay(spark, ev_dir2, "jsonl", jsonl_events, f"jsonl-{CPUS}")
     queries["cdc_replay_jsonl"] = r2["sec"]
     cdc["jsonl"] = r2
+
+    # --- multi-table: one mixed 4-table WAL vs the same volume single-table
+    mt_events = max(N_EVENTS // 2, 4000)
+    mt_dir = ensure_multi_events(spark, mt_events, FORMAT)
+    m = run_cdc_multi_table(spark, mt_dir, FORMAT, mt_events)
+    # single-table control at the same volume for the parallelism ratio
+    st_dir = ensure_events(spark, mt_events, FORMAT)
+    st = run_cdc_replay(spark, st_dir, FORMAT, mt_events, f"mtctl-{CPUS}")
+    m["single_table_events_per_sec"] = st["events_per_sec"]
+    m["multi_vs_single_ratio"] = round(
+        m["events_per_sec"] / max(st["events_per_sec"], 1), 2
+    )
+    queries["cdc_multi_table_replay"] = m["sec"]
+    cdc["multi_table"] = m
 
     # --- write-amplification: 8-epoch streaming replay, CoW vs MoR vs the
     # DEFAULT ('auto' picks CoW for the bootstrap epoch, MoR after) ---------

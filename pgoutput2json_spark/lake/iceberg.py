@@ -26,8 +26,10 @@ Iceberg the same apply collapses to:
 
 from __future__ import annotations
 
-#: public Maven coordinate (match your Spark/Scala version)
-ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>"
+#: public Maven coordinate — pin the runtime matching your Spark minor
+#: (Iceberg 1.10 is the first line with a Spark 4.0 runtime artifact;
+#: bump the `4.0` infix for newer Spark minors as Iceberg publishes them)
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
 
 #: the catalog config a real deployment sets (spark-submit --conf ...)
 CATALOG_CONF_EXAMPLE = {

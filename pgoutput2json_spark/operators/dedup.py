@@ -59,3 +59,74 @@ def salted_lww_reduce(
         F.sum("n_u").alias("n_u"),
         F.sum("n_d").alias("n_d"),
     )
+
+
+def salted_lww_reduce_raw(
+    events: DataFrame,
+    versions: list,
+    target_fields: list[dict],
+    salt: int = 64,
+) -> DataFrame:
+    """Lazy-envelope LWW: the two-phase salted ``max_by`` carries only the
+    RAW row text (one string per event, not per-slot structs); the single
+    winner per key is decoded after the reduce — n_keys full parses instead
+    of n_events.  Output schema matches :func:`salted_lww_reduce`."""
+    from pgoutput2json_spark.lake.table import _parse_type
+    from pgoutput2json_spark.operators.parse import _field_struct, _per_version
+
+    ev = F.struct(F.col("lsn"), F.col("sub"), F.col("op"), F.col("r"))
+    ord_long = F.col("lsn") * 2 + F.col("sub")
+    salted = events.withColumn("__salt", F.pmod(F.xxhash64("lsn"), F.lit(salt)))
+    phase1 = salted.groupBy("doc_id", "__salt").agg(
+        F.max_by(ev, ord_long).alias("win"),
+        F.max(ord_long).alias("__ord"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_i"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_u"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
+    )
+    phase2 = phase1.groupBy("doc_id").agg(
+        F.max_by(F.col("win"), F.col("__ord")).alias("win"),
+        F.sum("n_events").alias("n_events"),
+        F.min("min_lsn").alias("min_lsn"),
+        F.max("max_lsn").alias("max_lsn"),
+        F.sum("n_i").alias("n_i"),
+        F.sum("n_u").alias("n_u"),
+        F.sum("n_d").alias("n_d"),
+    )
+    # winner decode — one from_json per KEY, in its own projection so the
+    # parse is not duplicated per column (CollapseProject keeps non-cheap
+    # multi-referenced aliases in their own ProjectExec)
+    phase2 = phase2.withColumn(
+        "__r_arr", F.from_json(F.col("win")["r"], "array<string>")
+    )
+    v = F.struct(
+        *[
+            _per_version(
+                versions,
+                lambda rel, name=f["name"], dt=_parse_type(f["type"]): _field_struct(
+                    F.col("__r_arr"), rel, name, dt
+                ),
+                w=F.col("win")["lsn"],
+            ).alias(f["name"])
+            for f in target_fields
+        ]
+    )
+    win_ev = F.struct(
+        F.col("win")["lsn"].alias("lsn"),
+        F.col("win")["sub"].alias("sub"),
+        F.col("win")["op"].alias("op"),
+        v.alias("v"),
+    )
+    return phase2.select(
+        "doc_id",
+        F.array(win_ev).alias("evs"),
+        "n_events",
+        "min_lsn",
+        "max_lsn",
+        "n_i",
+        "n_u",
+        "n_d",
+    )

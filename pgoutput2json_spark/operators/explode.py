@@ -33,12 +33,16 @@ def split_truncate(parsed: DataFrame) -> tuple[DataFrame, int | None]:
     return parsed.filter((F.col("lsn") > F.lit(tmax)) & (F.col("op") != "T")), int(tmax)
 
 
-def explode_key_updates(parsed: DataFrame, field_names: list[str]) -> DataFrame:
+def explode_key_updates(
+    parsed: DataFrame, field_names: list[str], payload_cols: list[str] | None = None
+) -> DataFrame:
     """Resolve each event's merge key and expand key-changing updates into
     (delete-old, upsert-new) pairs — one JVM pass via array+explode.
 
     Output: doc_id, lsn, sub, op, f_<col>... (payload structs untouched;
-    the synthetic delete carries no payload).
+    the synthetic delete carries no payload).  ``payload_cols`` overrides
+    the carried payload (the lazy-envelope path carries the raw ``r`` text
+    + full_row flag instead of parsed f_* structs).
     """
     old_k, new_k = F.col("old_key"), F.col("new_key")
     is_ku = (
@@ -58,7 +62,11 @@ def explode_key_updates(parsed: DataFrame, field_names: list[str]) -> DataFrame:
         F.array(main)
     )
     e = F.explode(pairs).alias("e")
-    keep = [F.col(f"f_{n}") for n in field_names]
+    keep = (
+        [F.col(c) for c in payload_cols]
+        if payload_cols is not None
+        else [F.col(f"f_{n}") for n in field_names]
+    )
     return (
         parsed.select(F.col("lsn"), e, *keep)
         .select(

@@ -61,6 +61,7 @@ def snapshot_cut(
     field_names: list[str],
     n_events_hint: int | None = None,
     persist_registry: list | None = None,
+    is_snapshot: Column | None = None,
 ) -> DataFrame:
     """Drop every event strictly older than its key's last snapshot event.
 
@@ -69,11 +70,15 @@ def snapshot_cut(
     list.  The cut table is broadcast whenever the key count allows —
     directly for micro-batch sizes (``n_events_hint``), after a cheap count
     for backfill-size batches — so the event payloads themselves are never
-    exchanged just to be filtered."""
-    all_set = F.lit(True)
-    for n in field_names:
-        all_set = all_set & F.col(f"f_{n}.set")
-    is_snapshot = (F.col("op") == "D") | ((F.col("op") == "U") & all_set)
+    exchanged just to be filtered.
+
+    ``is_snapshot`` overrides the default all-columns-set test (the
+    lazy-envelope path supplies its version-arity ``full_row`` flag)."""
+    if is_snapshot is None:
+        all_set = F.lit(True)
+        for n in field_names:
+            all_set = all_set & F.col(f"f_{n}.set")
+        is_snapshot = (F.col("op") == "D") | ((F.col("op") == "U") & all_set)
     # (lsn, sub) encoded as one long: max(struct) falls back to a
     # SortAggregate (sort+exchange+sort over every event); max(long) is a
     # plain HashAggregate with map-side partial combine.  sub is one bit

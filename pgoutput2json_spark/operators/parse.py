@@ -71,9 +71,11 @@ def composite_key(parts: list[Column]) -> Column:
     return F.concat(*joined)
 
 
-def _per_version(versions: list[tuple[int, RelationSchema]], build):
-    """CASE over relation-version LSN ranges: build(rel) -> Column."""
-    w = F.col("w")
+def _per_version(versions: list[tuple[int, RelationSchema]], build, w: Column | None = None):
+    """CASE over relation-version LSN ranges: build(rel) -> Column.
+    ``w``: the LSN column picking the version (default envelope ``w``)."""
+    if w is None:
+        w = F.col("w")
     expr = None
     for i, (from_lsn, rel) in enumerate(versions):
         upper = versions[i + 1][0] if i + 1 < len(versions) else None
@@ -83,6 +85,25 @@ def _per_version(versions: list[tuple[int, RelationSchema]], build):
         col = build(rel)
         expr = F.when(cond, col) if expr is None else expr.when(cond, col)
     return expr
+
+
+def _field_struct(
+    r_arr: Column, rel: RelationSchema, name: str, dtype: T.DataType, decode: bool = True
+) -> Column:
+    """(set, val) struct for one target column from a parsed slot array:
+    ``set`` false for absent slots (short pre-evolution rows) and TOAST
+    sentinels; ``val`` typed (or raw text with ``decode=False``)."""
+    out_t = dtype if decode else T.StringType()
+    pos = next((i for i, c in enumerate(rel.columns) if c.name == name), None)
+    if pos is None:
+        return F.struct(
+            F.lit(False).alias("set"), F.lit(None).cast(out_t).alias("val")
+        )
+    raw = F.element_at(r_arr, pos + 1)
+    present = r_arr.isNotNull() & (F.size(r_arr) > pos)
+    is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
+    payload = _parse_slot(raw, dtype) if decode else raw
+    return F.struct(is_set.alias("set"), F.when(is_set, payload).alias("val"))
 
 
 def parse_events(
@@ -132,20 +153,12 @@ def parse_events(
         )
 
         def build_val(rel: RelationSchema, name=name, dtype=dtype, excluded=excluded):
-            out_t = dtype if decode else T.StringType()
-            pos = next((i for i, c in enumerate(rel.columns) if c.name == name), None)
-            if pos is None or excluded:
+            if excluded:
+                out_t = dtype if decode else T.StringType()
                 return F.struct(
                     F.lit(False).alias("set"), F.lit(None).cast(out_t).alias("val")
                 )
-            raw = F.element_at(F.col("r"), pos + 1)
-            present = F.col("r").isNotNull() & (F.size("r") > pos)
-            is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
-            payload = _parse_slot(raw, dtype) if decode else raw
-            return F.struct(
-                is_set.alias("set"),
-                F.when(is_set, payload).alias("val"),
-            )
+            return _field_struct(F.col("r"), rel, name, dtype, decode)
 
         out_cols.append(_per_version(versions, build_val).alias(f"f_{name}"))
 
@@ -238,6 +251,95 @@ def parse_default_events(
         out_cols.append(col.alias(f"f_{name}"))
 
     return events.select(*out_cols)
+
+
+def parse_events_raw(
+    events: DataFrame,
+    versions: list[tuple[int, RelationSchema]],
+    target_fields: list[dict],
+) -> DataFrame:
+    """Minimal parse of the RAW jsonl envelope (``k``/``r`` captured as raw
+    JSON array *text*, schema.RAW_EVENT_SCHEMA) — the deferred **envelope**
+    decode.  Where the eager path pays a per-slot string allocation for
+    every event's ``r`` array up front, this extracts only what the
+    snapshot-cut needs:
+
+    - merge keys via ``get_json_object`` per key slot (a skip-parse of the
+      line: Jackson tokenizes but allocates only the addressed slot);
+    - a per-version ``full_row`` flag for the cut's is-snapshot test —
+      true iff the relation version in effect at the event's LSN covers
+      every target column AND the raw row carries no TOAST sentinel (the
+      compact wire writes one slot per relation column, JsonWriter.cs:
+      216-230, so coverage is decided by the *version*, not the payload);
+      conservative on any mismatch, so at worst fewer events are cut.
+
+    The expensive slot decode (token-array parse — the profiled hot spot)
+    runs later, via :func:`decode_raw_rows`, on cut SURVIVORS only.  This
+    is the read-side analogue of the reference's single-pass zero-allocation
+    encode (JsonWriter.cs:24-32).
+    """
+    assert versions and versions[0][0] <= 0
+    target_names = [f["name"] for f in target_fields]
+
+    def key_from(col_name: str):
+        def build(rel: RelationSchema):
+            parts = [
+                F.get_json_object(F.col(col_name), f"$[{i}]")
+                for i in rel.key_indices()
+            ]
+            return composite_key(parts)
+
+        return _per_version(versions, build)
+
+    covers = _per_version(
+        versions,
+        lambda rel: F.lit(
+            all(any(c.name == n for c in rel.columns) for n in target_names)
+        ),
+    )
+    full = (
+        F.col("r").isNotNull()
+        & covers
+        & ~F.col("r").contains(F.lit(TOAST_SENTINEL))
+    )
+    return events.select(
+        F.col("c").alias("op"),
+        F.col("w").alias("lsn"),
+        F.when(F.col("k").isNotNull(), key_from("k")).alias("old_key"),
+        F.when(F.col("r").isNotNull(), key_from("r")).alias("new_key"),
+        F.coalesce(full, F.lit(False)).alias("full_row"),
+        F.col("r"),
+    )
+
+
+def decode_raw_rows(
+    df: DataFrame,
+    versions: list[tuple[int, RelationSchema]],
+    target_fields: list[dict],
+    carry: tuple = ("doc_id", "lsn", "sub", "op"),
+) -> DataFrame:
+    """Full positional decode of cut survivors carrying raw ``r`` text:
+    ONE ``from_json`` per row — kept in its own projection (CollapseProject
+    will not inline a non-cheap alias used many times), so the line is
+    parsed once, not once per column — then the shared slot-struct builder
+    per target column per relation version.  Output: ``carry`` columns +
+    typed ``f_<col>`` structs, the group_events/fold contract."""
+    from pgoutput2json_spark.lake.table import _parse_type
+
+    df = df.withColumn("__r_arr", F.from_json("r", "array<string>"))
+    cols: list[Column] = [F.col(c) for c in carry]
+    for fdict in target_fields:
+        name, dtype = fdict["name"], _parse_type(fdict["type"])
+        cols.append(
+            _per_version(
+                versions,
+                lambda rel, name=name, dtype=dtype: _field_struct(
+                    F.col("__r_arr"), rel, name, dtype
+                ),
+                w=F.col("lsn"),
+            ).alias(f"f_{name}")
+        )
+    return df.select(*cols)
 
 
 def relation_versions_in_batch(

@@ -370,6 +370,47 @@ def cosine_neardup_pairs(
     )
 
 
+def exact_pair_count_gemm(
+    vectors: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Exact count of pairs (id_a < id_b) with round(cosine, 4) >= threshold
+    over a (bounded, sampled) vector set — numpy GEMM per Arrow batch
+    against the broadcast sample matrix instead of a broadcast nested-loop
+    join with per-pair expression folds (the r3-profiled cost of
+    :func:`neardup_recall`'s exact side; same pattern as :func:`topk_gemm`).
+    O(s²/partitions) per task, one scalar per partition shuffled."""
+    sample_pd = vectors.select(id_col, vec_col).toPandas()
+    if sample_pd.empty:
+        return 0
+    spark = vectors.sparkSession
+    m = np.stack(sample_pd[vec_col].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = sample_pd[id_col].to_numpy()
+    bm = spark.sparkContext.broadcast(m)
+    bids = spark.sparkContext.broadcast(ids)
+
+    def cnt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            scores = np.round(x @ bm.value.T, 4)       # (batch, s)
+            lower = pdf[id_col].to_numpy()[:, None] < bids.value[None, :]
+            yield pd.DataFrame({"n": [int(((scores >= threshold) & lower).sum())]})
+
+    row = (
+        vectors.select(id_col, vec_col)
+        .mapInPandas(cnt, schema="n long")
+        .agg(F.sum("n").alias("n"))
+        .first()
+    )
+    return int(row["n"] or 0)
+
+
 def neardup_recall(
     vectors: DataFrame,
     dim: int,
@@ -392,26 +433,17 @@ def neardup_recall(
     explicit instead of leaving it implicit in the banding parameters:
     calibrate (planes, bands, threshold) on a sample until the measured
     recall is acceptable, then run :func:`cosine_neardup_pairs` at scale.
-    The exact side is a broadcast nested-loop self-join over the sample —
-    O(s²) — so at 100 TB you run it on ``sample_fraction`` ~ 1e-5 (tens of
-    thousands of vectors), never on the full corpus."""
+    The exact side is a distributed GEMM against the broadcast sample
+    matrix (:func:`exact_pair_count_gemm`) — O(s²) work — so at 100 TB you
+    run it on ``sample_fraction`` ~ 1e-5 (tens of thousands of vectors),
+    never on the full corpus."""
     from pgoutput2json_spark.pipeline.sampling import hash_fraction
 
     if sample_fraction < 1.0:
         vectors = vectors.filter(
             hash_fraction(F.col(id_col).cast("string")) < F.lit(sample_fraction)
         )
-    a, b = vectors.alias("a"), vectors.alias("b")
-    exact = (
-        a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.round(
-                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
-            ).alias("cos")
-        )
-        .filter(F.col("cos") >= threshold)
-    )
-    n_exact = exact.count()
+    n_exact = exact_pair_count_gemm(vectors, threshold, vec_col, id_col)
     n_banded = cosine_neardup_pairs(
         vectors, dim, threshold, planes, bands, max_bucket, vec_col, id_col
     ).count()

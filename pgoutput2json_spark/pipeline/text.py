@@ -139,15 +139,45 @@ def repetition_stats(
       total bigrams;
     - ``repetitive``: either fraction over its threshold.
 
-    dup fractions are per-row Catalyst set arithmetic (no shuffle); the
-    bigram mode uses one explode + combinable count + ``max_by`` per doc —
-    a single hash aggregation at any corpus size.  All fractions rounded to
-    6 dp for exact oracle parity."""
+    The whole operator is MAP-ONLY — zero shuffle at any corpus size: the
+    dup fractions are per-row set arithmetic, and the top-bigram count is
+    the longest run in the row's SORTED bigram array (a per-row
+    ``array_sort`` + fold — equal by definition to the max group count the
+    r3 version computed with an explode + two hash aggregations + a join,
+    which profiling showed was a fixed multi-second cost even for 5k docs).
+    Small file counts under-parallelize a map-only plan, so inputs with
+    fewer partitions than cores are spread first (a 10 MB text shuffle; at
+    100 TB the input has more splits than cores and this is a no-op).  All
+    fractions rounded to 6 dp for exact oracle parity."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     t = F.col(text_col)
     w = words(t)
     n_words = F.size(w)
     lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    # longest run in the sorted array == the most frequent bigram's count
+    run_state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def run_step(s, x):
+        run2 = F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run2.alias("run"),
+            F.greatest(s["best"], run2).alias("best"),
+        )
+
+    top_n = F.aggregate(
+        F.array_sort(bigrams), run_state, run_step, lambda s: s["best"]
+    )
     base = docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -161,35 +191,20 @@ def repetition_stats(
             / F.greatest(n_lines, F.lit(1)).cast("double"),
             6,
         ).alias("dup_line_frac"),
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-        ).alias("bigrams"),
+        F.round(
+            top_n / F.size(bigrams).cast("double"), 6
+        ).alias("top_bigram_frac"),
     )
-    top = (
-        base.select(F.col(id_col), F.explode("bigrams").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy(id_col)
-        .agg(F.max("n").alias("top_n"), F.sum("n").alias("n_bigrams"))
-    )
-    return (
-        base.drop("bigrams")
-        .join(top, id_col)
-        .select(
-            F.col(id_col),
-            "n_words",
-            "dup_word_frac",
-            "dup_line_frac",
-            F.round(F.col("top_n") / F.col("n_bigrams").cast("double"), 6).alias(
-                "top_bigram_frac"
-            ),
-            (
-                (F.col("dup_word_frac") > F.lit(dup_word_max))
-                | (F.round(F.col("top_n") / F.col("n_bigrams").cast("double"), 6)
-                   > F.lit(top_bigram_max))
-            ).alias("repetitive"),
-        )
+    return base.select(
+        F.col(id_col),
+        "n_words",
+        "dup_word_frac",
+        "dup_line_frac",
+        "top_bigram_frac",
+        (
+            (F.col("dup_word_frac") > F.lit(dup_word_max))
+            | (F.col("top_bigram_frac") > F.lit(top_bigram_max))
+        ).alias("repetitive"),
     )
 
 

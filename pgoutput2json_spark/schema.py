@@ -58,6 +58,24 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
+#: Lazy-envelope variant for the jsonl wire path: ``k``/``r`` declared as
+#: StringType so the JSON reader captures each as ONE raw-text copy of the
+#: nested array (Jackson writeRaw) instead of allocating a string per slot —
+#: the deferred-envelope-decode fast path (operators.parse.parse_events_raw
+#: extracts keys/flags by skip-parse; slots decode post-snapshot-cut).
+RAW_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("c", T.StringType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("t", T.StringType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("k", T.StringType()),       # raw JSON array text
+        T.StructField("r", T.StringType()),       # raw JSON array text
+        T.StructField("cts", T.LongType()),
+        T.StructField("mts", T.LongType()),
+    ]
+)
+
 #: Envelope for the reference's DEFAULT JsonWriteMode (JsonOptions.cs:46,
 #: JsonWriter.cs:208-230): ``k``/``r`` are {"col": value} objects (nulls
 #: omitted unless WriteNulls), the relation message is an object under

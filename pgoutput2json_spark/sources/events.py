@@ -13,7 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pgoutput2json_spark.schema import DEFAULT_EVENT_SCHEMA, EVENT_SCHEMA
+from pgoutput2json_spark.schema import (
+    DEFAULT_EVENT_SCHEMA,
+    EVENT_SCHEMA,
+    RAW_EVENT_SCHEMA,
+)
 
 
 def _normalize_default(df: DataFrame) -> DataFrame:
@@ -26,9 +30,18 @@ def _normalize_default(df: DataFrame) -> DataFrame:
 
 
 def read_events(
-    spark: SparkSession, path: str, fmt: str = "jsonl", json_mode: str = "compact"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    json_mode: str = "compact",
+    lazy: bool = False,
 ) -> DataFrame:
-    """Batch read of event files with the fixed envelope schema."""
+    """Batch read of event files with the fixed envelope schema.
+
+    ``lazy=True`` (compact jsonl only): ``k``/``r`` are captured as raw
+    JSON array *text* (RAW_EVENT_SCHEMA) — one allocation per row instead
+    of one per slot; the engine's lazy-envelope pipeline skip-parses keys
+    and decodes only snapshot-cut survivors."""
     if json_mode == "default":
         if fmt != "jsonl":
             raise ValueError("default json_mode is a wire (jsonl) format")
@@ -36,7 +49,9 @@ def read_events(
             spark.read.schema(DEFAULT_EVENT_SCHEMA).json(path)
         )
     if fmt == "jsonl":
-        return spark.read.schema(EVENT_SCHEMA).json(path)
+        return spark.read.schema(
+            RAW_EVENT_SCHEMA if lazy else EVENT_SCHEMA
+        ).json(path)
     if fmt == "parquet":
         return spark.read.schema(EVENT_SCHEMA).parquet(path)
     raise ValueError(f"unknown event format {fmt!r}")
@@ -48,9 +63,16 @@ def read_events_stream(
     fmt: str = "jsonl",
     max_files_per_trigger: int | None = None,
     json_mode: str = "compact",
+    lazy: bool = False,
 ) -> DataFrame:
-    """Streaming read (file source tailing the event directory)."""
-    schema = DEFAULT_EVENT_SCHEMA if json_mode == "default" else EVENT_SCHEMA
+    """Streaming read (file source tailing the event directory).  ``lazy``
+    as in :func:`read_events`."""
+    if json_mode == "default":
+        schema = DEFAULT_EVENT_SCHEMA
+    elif fmt == "jsonl" and lazy:
+        schema = RAW_EVENT_SCHEMA
+    else:
+        schema = EVENT_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))

@@ -50,6 +50,13 @@ class GeneratorSpec:
     #: emit w=0 snapshot inserts for keys [0, snapshot_keys)
     snapshot_keys: int = 0
     n_files: int = 8
+    #: override the schema-qualified table name (multi-table streams:
+    #: one generator call per table, union'd — DataExporter.cs:44-101)
+    table: str | None = None
+    #: event index whose event carries the BASE 4-column relation message
+    #: (``s``) — required for MultiTableCdcEngine auto-create of tables it
+    #: has never seen (SqlitePublisher.cs:106-141 precedent)
+    relation_at: int | None = None
 
 
 def _h(seed_tag: int, *cols):
@@ -127,20 +134,25 @@ def generate_events(spark: SparkSession, spec: GeneratorSpec) -> DataFrame:
 
     # relation message rides on the first evolved event (E1 —
     # ReplicationListener.cs:243-249: relation change marks the NEXT event)
+    table = spec.table or TABLE
     evolved_schema = (
-        f'["{TABLE}",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],'
+        f'["{table}",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],'
         f'["source",0,25],["lang",0,25]]'
     )
-    s_col = (
-        F.when(F.col("i") == F.lit(spec.evolve_at), F.lit(evolved_schema))
-        if spec.evolve_at is not None
-        else F.lit(None).cast("string")
+    base_schema = (
+        f'["{table}",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],'
+        f'["source",0,25]]'
     )
+    s_col = F.lit(None).cast("string")
+    if spec.evolve_at is not None:
+        s_col = F.when(F.col("i") == F.lit(spec.evolve_at), F.lit(evolved_schema)).otherwise(s_col)
+    if spec.relation_at is not None:
+        s_col = F.when(F.col("i") == F.lit(spec.relation_at), F.lit(base_schema)).otherwise(s_col)
 
     out = df.select(
         F.when(F.col("op").isin("KU", "TU"), F.lit("U")).otherwise(F.col("op")).alias("c"),
         (F.lit(spec.lsn_start) + F.col("i")).alias("w"),
-        F.lit(TABLE).alias("t"),
+        F.lit(table).alias("t"),
         s_col.alias("s"),
         F.col("k"),
         F.col("r"),
@@ -158,7 +170,7 @@ def generate_events(spark: SparkSession, spec: GeneratorSpec) -> DataFrame:
         snap = snap.select(
             F.lit("I").alias("c"),
             F.lit(0).cast("long").alias("w"),  # w=0: snapshot never wins dedup
-            F.lit(TABLE).alias("t"),
+            F.lit(table).alias("t"),
             F.lit(None).cast("string").alias("s"),
             F.lit(None).cast("array<string>").alias("k"),
             F.array(

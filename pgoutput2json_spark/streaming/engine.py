@@ -34,14 +34,19 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from pgoutput2json_spark.lake.format import TableFormat
 from pgoutput2json_spark.lake.table import LakeTable
-from pgoutput2json_spark.operators.dedup import salted_lww_reduce
+from pgoutput2json_spark.operators.dedup import (
+    salted_lww_reduce,
+    salted_lww_reduce_raw,
+)
 from pgoutput2json_spark.operators.explode import explode_key_updates
 from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
 from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups
 from pgoutput2json_spark.operators.parse import (
     decode_fields,
+    decode_raw_rows,
     parse_default_events,
     parse_events,
+    parse_events_raw,
 )
 from pgoutput2json_spark.operators.rowfilter import apply_row_filter
 from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema
@@ -210,6 +215,18 @@ class CdcEngine:
 
     # ------------------------------------------------------------ the batch
 
+    def _lazy_supported(self) -> bool:
+        """Whether the lazy (raw k/r text) envelope can serve this config:
+        compact jsonl with no per-event pre-cut value evaluation (row
+        filters and column allow-lists need parsed slots eagerly)."""
+        o = self.opts
+        return (
+            o.event_format == "jsonl"
+            and o.json_mode == "compact"
+            and o.row_filter is None
+            and o.included_columns is None
+        )
+
     def apply_batch(self, events: DataFrame, epoch_id: int) -> dict:
         table, opts = self.table, self.opts
         run_id = self._run_id()
@@ -226,6 +243,17 @@ class CdcEngine:
         )
         if opts.table_filter:
             events = events.filter(F.col("t") == opts.table_filter)
+        # Lazy envelope (jsonl wire fast path): k/r arrive as raw JSON array
+        # TEXT (RAW_EVENT_SCHEMA).  Supported whenever the parse needs no
+        # per-event column values before the cut (no row filter, no column
+        # allow-list, compact mode); otherwise upgrade in place to the
+        # array envelope and take the eager path.
+        lazy_env = dict(events.dtypes).get("r") == "string"
+        if lazy_env and not self._lazy_supported():
+            events = events.withColumn(
+                "k", F.from_json("k", "array<string>")
+            ).withColumn("r", F.from_json("r", "array<string>"))
+            lazy_env = False
         if cache_events:
             events = events.persist()
         # every DataFrame persisted during this batch lands here so the
@@ -285,24 +313,29 @@ class CdcEngine:
             fields = table.schema_fields()
             field_names = [f["name"] for f in fields]
 
-            parse_fn = (
-                parse_default_events if opts.json_mode == "default" else parse_events
-            )
-            # Deferred decode: extract positions/flags cheaply now and decode
-            # typed values (the token-array split — the profiled hot spot)
-            # only AFTER the snapshot-cut discards superseded events.  A row
-            # filter evaluates typed values per event, so it forces the
-            # eager path.
-            deferred = opts.row_filter is None
-            parsed = parse_fn(
-                events,
-                versions,
-                fields,
-                included=opts.included_columns,
-                decode=not deferred,
-            )
-            if opts.row_filter:
-                parsed = apply_row_filter(parsed, field_names, opts.row_filter)
+            if lazy_env:
+                # deferred ENVELOPE decode: keys by skip-parse, slots decode
+                # post-cut (parse.parse_events_raw docstring)
+                parsed = parse_events_raw(events, versions, fields)
+            else:
+                parse_fn = (
+                    parse_default_events if opts.json_mode == "default" else parse_events
+                )
+                # Deferred decode: extract positions/flags cheaply now and
+                # decode typed values (the token-array split — the profiled
+                # hot spot) only AFTER the snapshot-cut discards superseded
+                # events.  A row filter evaluates typed values per event, so
+                # it forces the eager path.
+                deferred = opts.row_filter is None
+                parsed = parse_fn(
+                    events,
+                    versions,
+                    fields,
+                    included=opts.included_columns,
+                    decode=not deferred,
+                )
+                if opts.row_filter:
+                    parsed = apply_row_filter(parsed, field_names, opts.row_filter)
 
             # D2 — committed-LSN dedup (skip replayed events)
             parsed = parsed.filter(F.col("lsn") > F.lit(committed))
@@ -317,22 +350,40 @@ class CdcEngine:
             else:
                 parsed = parsed.filter(F.col("op") != "T")
 
-            flat = explode_key_updates(parsed, field_names)
+            flat = explode_key_updates(
+                parsed,
+                field_names,
+                payload_cols=["full_row", "r"] if lazy_env else None,
+            )
             skew_salt = None
             if opts.apply_mode == "lww":
-                if deferred:
-                    flat = decode_fields(flat, fields)
                 skew_salt = (
                     opts.skew_feedback.salt_factor(64)
                     if opts.skew_feedback is not None
                     else 64
                 )
-                grouped = salted_lww_reduce(flat, field_names,
-                                            salt=skew_salt).persist()
+                if lazy_env:
+                    grouped = salted_lww_reduce_raw(
+                        flat, versions, fields, salt=skew_salt
+                    ).persist()
+                else:
+                    if deferred:
+                        flat = decode_fields(flat, fields)
+                    grouped = salted_lww_reduce(flat, field_names,
+                                                salt=skew_salt).persist()
             else:
+                lazy_snap = (
+                    (F.col("op") == "D")
+                    | ((F.col("op") == "U") & F.col("full_row"))
+                    if lazy_env
+                    else None
+                )
                 flat = snapshot_cut(flat, field_names, n_events_hint=n_events,
-                                    persist_registry=batch_caches)
-                if deferred:
+                                    persist_registry=batch_caches,
+                                    is_snapshot=lazy_snap)
+                if lazy_env:
+                    flat = decode_raw_rows(flat, versions, fields)
+                elif deferred:
                     flat = decode_fields(flat, fields)
                 grouped = group_events(flat, field_names).persist()
             batch_caches.append(grouped)
@@ -513,7 +564,8 @@ class CdcEngine:
         """One-shot batch replay of the whole events directory (bench &
         tests fast path; identical apply logic)."""
         df = read_events(self.spark, self.opts.events_dir,
-                         self.opts.event_format, self.opts.json_mode)
+                         self.opts.event_format, self.opts.json_mode,
+                         lazy=self._lazy_supported())
         return self.apply_batch(df, epoch_id=self.table.committed_epoch() + 1)
 
     def start_stream(self, available_now: bool = True, processing_time: str | None = None):
@@ -525,6 +577,7 @@ class CdcEngine:
             self.opts.event_format,
             self.opts.max_files_per_trigger,
             self.opts.json_mode,
+            lazy=self._lazy_supported(),
         )
         writer = stream.writeStream.foreachBatch(
             lambda df, eid: self.apply_batch(df, eid)

@@ -1,0 +1,110 @@
+"""Lazy-envelope (raw k/r text) jsonl fast path — equivalence vs the eager
+array-envelope pipeline (VERDICT r3 next-round #2: deferred envelope decode).
+
+The lazy path must produce byte-identical table state for every feature the
+eager path covers: evolution mid-batch, TOAST updates, key-updates,
+truncates, w=0 snapshot rows, hot keys, both apply modes.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from pgoutput2json_spark.schema import RAW_EVENT_SCHEMA
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    write_events,
+)
+from tests.util import make_engine
+
+
+SPEC = GeneratorSpec(
+    n_events=6_000,
+    n_keys=500,
+    seed=17,
+    evolve_at=4_000,
+    toast_pct=8,
+    keyupdate_pct=5,
+    hot_pct=15,
+    snapshot_keys=100,
+    truncate_at=(1_500,),
+)
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lazywal") / "events")
+    write_events(generate_events(spark, SPEC), path, "jsonl", n_files=4)
+    return path
+
+
+def _state(spark, tmpdir, wal, apply_mode, lazy):
+    eng = make_engine(spark, tmpdir)
+    eng.opts.apply_mode = apply_mode
+    schema = RAW_EVENT_SCHEMA if lazy else EVENT_SCHEMA
+    df = spark.read.schema(schema).json(os.path.join(wal, "*.txt"))
+    eng.apply_batch(df, epoch_id=0)
+    return eng.table.read()
+
+
+def test_raw_schema_captures_nested_as_text(spark, wal):
+    df = spark.read.schema(RAW_EVENT_SCHEMA).json(os.path.join(wal, "*.txt"))
+    row = df.filter(F.col("c") == "I").first()
+    assert row["r"].startswith("[") and row["r"].endswith("]")
+    # get_json_object slot addressing matches element_at on the parsed array
+    both = (
+        df.filter(F.col("r").isNotNull())
+        .select(
+            F.get_json_object("r", "$[0]").alias("g"),
+            F.element_at(F.from_json("r", "array<string>"), 1).alias("e"),
+        )
+        .filter(F.col("g") != F.col("e"))
+        .count()
+    )
+    assert both == 0
+
+
+@pytest.mark.parametrize("apply_mode", ["exact", "lww"])
+def test_lazy_equals_eager_full_feature_stream(
+    spark, tmp_path, wal, apply_mode
+):
+    eager = _state(spark, tmp_path / "eager", wal, apply_mode, lazy=False)
+    lazy = _state(spark, tmp_path / "lazy", wal, apply_mode, lazy=True)
+    assert eager.schema.simpleString() == lazy.schema.simpleString()
+    assert eager.exceptAll(lazy).count() == 0
+    assert lazy.exceptAll(eager).count() == 0
+    assert lazy.count() > 0
+
+
+def test_engine_reads_lazy_by_default_for_jsonl(spark, tmp_path, wal):
+    """replay_batch on a compact-jsonl engine goes through the raw envelope
+    (and still matches the eager state)."""
+    import shutil
+
+    eng = make_engine(spark, tmp_path / "auto")
+    assert eng._lazy_supported()
+    os.makedirs(eng.opts.events_dir, exist_ok=True)
+    for f in os.listdir(wal):
+        if f.endswith(".txt"):
+            shutil.copy(os.path.join(wal, f), os.path.join(eng.opts.events_dir, f))
+    eng.replay_batch()
+    eager = _state(spark, tmp_path / "eager2", wal, "exact", lazy=False)
+    got = eng.table.read()
+    assert got.exceptAll(eager).count() == 0
+    assert eager.exceptAll(got).count() == 0
+
+
+def test_lazy_gate_disabled_by_row_filter(spark, tmp_path, wal):
+    """A row filter needs eager slot values: the engine upgrades a raw
+    envelope in place and still applies correctly."""
+    eng = make_engine(spark, tmp_path / "rf")
+    eng.opts.row_filter = "source <> 'books'"
+    assert not eng._lazy_supported()
+    df = spark.read.schema(RAW_EVENT_SCHEMA).json(os.path.join(wal, "*.txt"))
+    eng.apply_batch(df, epoch_id=0)
+    rows = eng.table.read()
+    assert rows.filter(F.col("source") == "books").count() == 0
+    assert rows.count() > 0

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""A/B: jsonl replay throughput, eager array envelope vs lazy raw envelope.
+
+Usage: python tools/bench_jsonl_ab.py [n_events] [cpus] [mode...]
+mode in {eager, lazy}; default both, alternating, best-of reported.
+Prints one JSON line per run + a summary line.
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+MODES = sys.argv[3:] or ["eager", "lazy", "eager", "lazy"]
+CACHE = "/tmp/pg2spark-bench"
+
+
+def _cpu():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:9]))
+
+
+def main():
+    from bench import build_spark, ensure_events
+    from pgoutput2json_spark.schema import EVENT_SCHEMA, RAW_EVENT_SCHEMA
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from bench import warmup
+
+    warmup(spark)
+    ev_dir = ensure_events(spark, N, "jsonl")
+    files = os.path.join(ev_dir, "*.txt")
+    results = {}
+    for i, mode in enumerate(MODES):
+        work = f"{CACHE}/ab-{mode}-{i}-{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        eng = CdcEngine(
+            spark,
+            EngineOptions(
+                table_root=f"{work}/table",
+                events_dir=ev_dir,
+                checkpoint_dir=f"{work}/ckpt",
+                event_format="jsonl",
+                bucket_count=64,
+            ),
+        )
+        schema = RAW_EVENT_SCHEMA if mode == "lazy" else EVENT_SCHEMA
+        df = spark.read.schema(schema).json(files)
+        c0, t0 = _cpu(), time.time()
+        eng.apply_batch(df, epoch_id=0)
+        dt = time.time() - t0
+        c1 = _cpu()
+        d = [b - a for a, b in zip(c0, c1)]
+        tot = max(sum(d), 1)
+        rows = eng.table.read().count()
+        r = {
+            "mode": mode,
+            "sec": round(dt, 2),
+            "events_per_sec": round(N / dt),
+            "rows": rows,
+            "user_pct": round(100 * d[0] / tot, 1),
+            "sys_pct": round(100 * d[2] / tot, 1),
+            "steal_pct": round(100 * d[7] / tot, 1),
+        }
+        print(json.dumps(r), flush=True)
+        results.setdefault(mode, []).append(r)
+        shutil.rmtree(work, ignore_errors=True)
+    best = {m: max(rs, key=lambda r: r["events_per_sec"]) for m, rs in results.items()}
+    summary = {"n_events": N, "cpus": CPUS,
+               "best": {m: b["events_per_sec"] for m, b in best.items()}}
+    if "eager" in best and "lazy" in best:
+        summary["speedup"] = round(
+            best["lazy"]["events_per_sec"] / best["eager"]["events_per_sec"], 2
+        )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
