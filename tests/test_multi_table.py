@@ -117,3 +117,26 @@ def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
     assert len(ivs) == 4
     overlaps = sum(1 for a, b in zip(ivs, ivs[1:]) if b[0] < a[1])
     assert overlaps >= 1, f"applies ran serially: {ivs}"
+
+
+def test_generator_table_override_and_base_relation(spark):
+    """Multi-table WAL support: per-table generator streams carry the table
+    name override and a base relation message on the chosen event (the
+    auto-create requirement of MultiTableCdcEngine)."""
+    from pyspark.sql import functions as F
+
+    from pgoutput2json_spark.schema import RelationSchema
+    from pgoutput2json_spark.sources.generator import GeneratorSpec, generate_events
+
+    ev = generate_events(
+        spark,
+        GeneratorSpec(n_events=50, n_keys=10, seed=7,
+                      table="public.other", relation_at=0),
+    )
+    assert ev.select("t").distinct().collect()[0]["t"] == "public.other"
+    rels = ev.filter(F.col("s").isNotNull()).select("w", "s").collect()
+    assert len(rels) == 1
+    rel = RelationSchema.from_json(rels[0]["s"])
+    assert rel.table == "public.other"
+    assert [c.name for c in rel.columns] == ["doc_id", "tokens", "n_tok", "source"]
+    assert rel.key_columns == ["doc_id"]

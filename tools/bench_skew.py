@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Skew stress bench (VERDICT r3 #6): one doc_id carries 50% of events.
+
+Two layers of evidence:
+
+1. **Reduce-stage A/B** over the same parsed event set — the plans a user
+   could write for last-writer-wins:
+   - ``window``: row_number() OVER (PARTITION BY doc_id ORDER BY ord DESC)
+     — the naive unsalted plan; the hot key's full partition sorts on ONE
+     task.
+   - ``salt1``: the engine's two-phase reduce with salt=1 (structurally
+     unsalted but still map-side-combinable).
+   - ``salt64``: the engine default.
+2. **Full-engine A/B**: lww replay of the hot WAL with a pinned salt of 1
+   vs the default 64 vs a ``SkewFeedback`` primed by a REAL
+   ``hot_key_stream`` pass over the same WAL (the online loop), recording
+   the ``skew.salt`` decision each run commits.
+
+A uniform WAL (hot_pct=0) is measured as control.  Results ->
+BENCH/SKEW_r4.json; interpretation lands in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("SKEW_EVENTS", "4000000"))
+CPUS = int(os.environ.get("SKEW_CPUS", "32"))
+CACHE = "/tmp/pg2spark-skew"
+
+
+class _FixedSalt:
+    """skew_feedback stand-in pinning the salt factor (salt=1 = unsalted)."""
+
+    def __init__(self, n: int):
+        self.n = int(n)
+
+    def salt_factor(self, base: int) -> int:
+        return self.n
+
+
+def _wal(spark, hot_pct: int) -> str:
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+
+    path = f"{CACHE}/wal-{N}-hot{hot_pct}"
+    if not os.path.exists(f"{path}/_READY"):
+        shutil.rmtree(path, ignore_errors=True)
+        spec = GeneratorSpec(
+            n_events=N, n_keys=max(N // 10, 100), seed=42, hot_pct=hot_pct,
+            update_pct=80, delete_pct=5, keyupdate_pct=0, toast_pct=0,
+            max_tokens=64,
+        )
+        write_events(generate_events(spark, spec), path, "parquet",
+                     max(CPUS * 2, 16))
+        with open(f"{path}/_READY", "w") as f:
+            f.write("ok")
+    return path
+
+
+def _flat(spark, wal: str):
+    from pgoutput2json_spark.operators.explode import explode_key_updates
+    from pgoutput2json_spark.operators.parse import parse_events
+    from pgoutput2json_spark.schema import DOCS_RELATION, EVENT_SCHEMA
+    from pgoutput2json_spark.sources.events import read_events
+
+    fields = [
+        {"name": c.name, "type": c.spark_type.simpleString(), "oid": c.oid}
+        for c in DOCS_RELATION.columns
+    ]
+    ev = read_events(spark, wal, "parquet")
+    parsed = parse_events(ev, [(-1, DOCS_RELATION)], fields).filter(
+        "op <> 'T'"
+    )
+    names = [f["name"] for f in fields]
+    return explode_key_updates(parsed, names), names
+
+
+def _consume(df) -> int:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.sum(F.xxhash64(F.to_json("evs"))).alias("h")
+    ).first()["h"] or 0
+
+
+def reduce_ab(spark, wal: str) -> dict:
+    from pyspark.sql import Window, functions as F
+    from pgoutput2json_spark.operators.dedup import salted_lww_reduce
+
+    flat, names = _flat(spark, wal)
+    out = {}
+
+    def window_lww(df):
+        ord_long = F.col("lsn") * 2 + F.col("sub")
+        w = Window.partitionBy("doc_id").orderBy(F.desc(ord_long))
+        ev = F.struct(F.col("lsn"), F.col("sub"), F.col("op"),
+                      F.struct(*[F.col(f"f_{n}").alias(n) for n in names]).alias("v"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", F.array(ev).alias("evs"))
+        )
+
+    variants = {
+        "window": lambda: window_lww(flat),
+        "salt1": lambda: salted_lww_reduce(flat, names, salt=1),
+        "salt64": lambda: salted_lww_reduce(flat, names, salt=64),
+    }
+    for name, make in variants.items():
+        t0 = time.time()
+        h = _consume(make())
+        out[name] = {"sec": round(time.time() - t0, 2), "digest": h}
+    return out
+
+
+def engine_ab(spark, wal: str) -> dict:
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+    from pgoutput2json_spark.streaming.monitor import SkewFeedback, hot_key_stream
+    from pgoutput2json_spark.sources.events import read_events_stream
+
+    out = {}
+
+    # prime a REAL feedback object from the monitor stream over this WAL
+    fb = SkewFeedback(threshold=N // 100)
+    mon_ck = f"{CACHE}/monck-{os.getpid()}"
+    shutil.rmtree(mon_ck, ignore_errors=True)
+    stream = read_events_stream(spark, wal, "parquet")
+    q = fb.attach_to(hot_key_stream(stream, threshold=N // 100), mon_ck)
+    # the monitor stream runs continuously; wait until the hot key reports
+    # (or time out), then stop it
+    t_end = time.time() + 180
+    while time.time() < t_end and not fb.hot_keys():
+        time.sleep(1)
+    q.stop()
+    out["feedback_hot_keys"] = {
+        k: v for k, v in sorted(fb.hot_keys().items(), key=lambda kv: -kv[1])[:3]
+    }
+
+    for name, feedback in (
+        ("salt1", _FixedSalt(1)),
+        ("salt64", None),
+        ("feedback", fb),
+    ):
+        work = f"{CACHE}/eng-{name}-{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        eng = CdcEngine(spark, EngineOptions(
+            table_root=f"{work}/table",
+            events_dir=wal,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format="parquet",
+            bucket_count=64,
+            apply_mode="lww",
+            skew_feedback=feedback,
+        ))
+        t0 = time.time()
+        summary = eng.replay_batch()
+        dt = time.time() - t0
+        rows = eng.table.read().count()
+        out[name] = {
+            "sec": round(dt, 2),
+            "events_per_sec": round(N / dt),
+            "skew_salt": summary.get("skew.salt"),
+            "rows": rows,
+        }
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    from bench import build_spark, warmup
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark)
+    out = {"n_events": N, "cpus": CPUS}
+    for tag, hot in (("hot50", 50), ("uniform", 0)):
+        wal = _wal(spark, hot)
+        out[tag] = {"reduce_ab": reduce_ab(spark, wal)}
+        if tag == "hot50":
+            out[tag]["engine_ab"] = engine_ab(spark, wal)
+        print(json.dumps({tag: out[tag]}), file=sys.stderr, flush=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH", "SKEW_r4.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Soak: sustained streaming replay at 10^8-event scale (VERDICT r3 #1).
+
+Runs SOAK_EVENTS (default 100M) through the REAL streaming path
+(``start_stream``, availableNow) in >= SOAK_EPOCHS micro-batch epochs at
+local[SOAK_CPUS] under the DEFAULT engine config (merge_mode='auto',
+compact_every=8) plus expire_every=8 so compaction AND snapshot expiry fire
+repeatedly mid-run.  Records per epoch: wall, events/s, merge mode, live
+base/delta file counts, on-disk bytes, and JVM RSS — the evidence that
+throughput stays flat and files/memory stay bounded over a long stream
+(reference analogue: the listener's indefinite single-writer loop,
+ReplicationListener.cs:113-367).
+
+Afterwards the final state is oracle-checked on a deterministic sample of
+keys: all events touching the sampled keys (old OR new key — closed under
+key-updates) are collected, replayed through the serial python oracle
+(tests/oracle.py), and compared row-for-row.
+
+Output: one JSON document on stdout; also written to BENCH/SOAK_r4.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+N = int(os.environ.get("SOAK_EVENTS", "100000000"))
+CPUS = int(os.environ.get("SOAK_CPUS", "8"))
+EPOCHS = int(os.environ.get("SOAK_EPOCHS", "32"))
+FORMAT = os.environ.get("SOAK_FORMAT", "parquet")
+CACHE = os.environ.get("SOAK_CACHE", "/tmp/pg2spark-soak")
+SAMPLE_KEYS = int(os.environ.get("SOAK_SAMPLE_KEYS", "200"))
+
+
+def jvm_rss_kb() -> int:
+    try:
+        out = subprocess.run(["ps", "-o", "rss=", "-C", "java"],
+                             capture_output=True, text=True).stdout
+        return sum(int(x) for x in out.split())
+    except Exception:  # noqa: BLE001
+        return -1
+
+
+def main() -> None:
+    from bench import build_spark
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_files = EPOCHS * 4  # 4 segment files per micro-batch epoch
+    ev_dir = f"{CACHE}/events-{N}-{FORMAT}-{n_files}"
+    # Steady-state CDC shape: the whole keyspace bootstraps at w=0 (first
+    # epochs = CoW backfill), then the stream updates ~N/EPOCHS events per
+    # epoch over a keyspace 5x that size — batch keys < 25% of base rows, so
+    # merge_mode='auto' settles into MoR with compaction/expiry bounding the
+    # delta log: every default engaged, like a real long-running slot.
+    spec = GeneratorSpec(
+        n_events=N,
+        n_keys=max(N // 5, 100),
+        seed=42,
+        snapshot_keys=max(N // 5, 50),
+        hot_pct=10,
+        max_tokens=64,
+    )
+    if not os.path.exists(f"{ev_dir}/_READY"):
+        shutil.rmtree(ev_dir, ignore_errors=True)
+        t0 = time.time()
+        write_events(generate_events(spark, spec), ev_dir, FORMAT, n_files)
+        print(f"generated {N} events in {time.time()-t0:.0f}s", file=sys.stderr)
+        with open(f"{ev_dir}/_READY", "w") as f:
+            f.write("ok")
+    if os.environ.get("SOAK_GEN_ONLY"):
+        spark.stop()
+        return
+
+    work = f"{CACHE}/run-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    epochs: list[dict] = []
+    t_prev = [time.time()]
+
+    def hook(summary: dict) -> None:
+        now = time.time()
+        snap = eng.table.snapshot()
+        n_base = sum(len(v) for v in snap.get("files", {}).values())
+        n_delta = sum(len(v) for v in snap.get("deltas", {}).values())
+        n_ev = int(summary.get("n-events", 0))
+        dt = now - t_prev[0]
+        t_prev[0] = now
+        data_dir = os.path.join(eng.table.root, "data")
+        on_disk = sum(len(fs) for _, _, fs in os.walk(data_dir))
+        rec = {
+            "epoch": summary.get("epoch"),
+            "sec": round(dt, 2),
+            "n_events": n_ev,
+            "events_per_sec": round(n_ev / dt) if dt > 0 else None,
+            "merge_mode": summary.get("merge-mode"),
+            "base_files": n_base,
+            "delta_files": n_delta,
+            "files_on_disk": on_disk,
+            "expired": "expire.keep-last" in summary,
+            "jvm_rss_mb": round(jvm_rss_kb() / 1024),
+        }
+        epochs.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
+    eng = CdcEngine(
+        spark,
+        EngineOptions(
+            table_root=f"{work}/table",
+            events_dir=ev_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format=FORMAT,
+            bucket_count=64,
+            max_files_per_trigger=max(n_files // EPOCHS, 1),
+            expire_every=8,           # maintenance engaged mid-run
+            post_commit_hook=hook,
+        ),
+    )
+    t0 = time.time()
+    t_prev[0] = t0
+    eng.run_until_drained(timeout_sec=7200)
+    wall = time.time() - t0
+
+    # ---- flatness: first-half vs second-half steady-state throughput
+    applied = [e for e in epochs if e["n_events"]]
+    half = len(applied) // 2
+    eps1 = sum(e["n_events"] for e in applied[:half]) / max(
+        sum(e["sec"] for e in applied[:half]), 1e-9)
+    eps2 = sum(e["n_events"] for e in applied[half:]) / max(
+        sum(e["sec"] for e in applied[half:]), 1e-9)
+
+    # ---- table bytes on disk (live snapshot)
+    snap = eng.table.snapshot()
+    live = [f for kind in ("files", "deltas") for fl in snap.get(kind, {}).values() for f in fl]
+    table_bytes = sum(
+        os.path.getsize(os.path.join(eng.table.root, f))
+        for f in live if os.path.exists(os.path.join(eng.table.root, f))
+    )
+    disk_files = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(eng.table.root, "data"))
+    )
+
+    # ---- oracle equality on a deterministic key sample (closed under KU)
+    from pyspark.sql import functions as F
+    from oracle import Oracle
+    from pgoutput2json_spark.sources.events import read_events
+
+    keys = [f"doc-{i:06d}" for i in range(1, spec.n_keys, max(spec.n_keys // SAMPLE_KEYS, 1))][:SAMPLE_KEYS]
+    kset = set(keys)
+    ev = read_events(spark, ev_dir, FORMAT)
+    touched = ev.filter(
+        F.element_at("k", 1).isin(keys) | F.element_at("r", 1).isin(keys)
+    ).collect()
+    o = Oracle()
+    o.replay([
+        {"c": r["c"], "w": r["w"],
+         **({"k": list(r["k"])} if r["k"] is not None else {}),
+         **({"r": list(r["r"])} if r["r"] is not None else {})}
+        for r in touched
+    ])
+    want = {k: v for k, v in o.table().items() if k in kset}
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in eng.table.read().filter(F.col("doc_id").isin(keys)).collect()
+    }
+    mismatches = []
+    if set(got) != set(want):
+        mismatches.append(
+            f"keys: extra={sorted(set(got)-set(want))[:3]} missing={sorted(set(want)-set(got))[:3]}"
+        )
+    for k in set(got) & set(want):
+        g, w = got[k], want[k]
+        for c, coerce in (("tokens", lambda v: list(v) if v is not None else None),
+                          ("n_tok", lambda v: int(v) if v is not None else None),
+                          ("source", lambda v: v)):
+            gv = list(g[c]) if isinstance(g.get(c), list) else g.get(c)
+            wv = coerce(w.get(c))
+            if gv != wv:
+                mismatches.append(f"{k}.{c}: engine={gv!r} oracle={wv!r}")
+    out = {
+        "n_events": N,
+        "cpus": CPUS,
+        "format": FORMAT,
+        "epochs": len(applied),
+        "wall_sec": round(wall, 1),
+        "events_per_sec_overall": round(N / wall),
+        "events_per_sec_first_half": round(eps1),
+        "events_per_sec_second_half": round(eps2),
+        "throughput_trend_ratio": round(eps2 / eps1, 3) if eps1 else None,
+        "max_delta_files": max((e["delta_files"] for e in applied), default=0),
+        "final_base_files": applied[-1]["base_files"] if applied else 0,
+        "final_delta_files": applied[-1]["delta_files"] if applied else 0,
+        "live_table_bytes": table_bytes,
+        "data_files_on_disk": disk_files,
+        "jvm_rss_mb_first": applied[0]["jvm_rss_mb"] if applied else None,
+        "jvm_rss_mb_last": applied[-1]["jvm_rss_mb"] if applied else None,
+        "jvm_rss_mb_max": max((e["jvm_rss_mb"] for e in applied), default=None),
+        "expiry_fired": sum(1 for e in applied if e["expired"]),
+        "final_rows": eng.table.read().count(),
+        "oracle_sample_keys": len(keys),
+        "oracle_sample_events": len(touched),
+        "oracle_mismatches": mismatches[:10],
+        "oracle_ok": not mismatches,
+        "per_epoch": epochs,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH", "SOAK_r4.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "per_epoch"}))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
