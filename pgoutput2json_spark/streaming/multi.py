@@ -154,7 +154,11 @@ class MultiTableCdcEngine:
     # ------------------------------------------------------------ run
 
     def replay_batch(self) -> dict:
-        df = read_events(self.spark, self.opts.events_dir, self.opts.event_format)
+        # jsonl reads go through the lazy raw envelope (per-table engines
+        # run compact mode with no row filters, so the gate always holds)
+        df = read_events(self.spark, self.opts.events_dir,
+                         self.opts.event_format,
+                         lazy=self.opts.event_format == "jsonl")
         return self.apply_batch(df, epoch_id=0)
 
     def start_stream(self, available_now: bool = True, processing_time: str | None = None):
@@ -163,6 +167,7 @@ class MultiTableCdcEngine:
             self.opts.events_dir,
             self.opts.event_format,
             self.opts.max_files_per_trigger,
+            lazy=self.opts.event_format == "jsonl",
         )
         writer = stream.writeStream.foreachBatch(
             lambda df, eid: self.apply_batch(df, eid)
