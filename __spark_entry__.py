@@ -830,6 +830,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk(emb, queries_pd, dim=64, k=10, n_centroids=16, nprobe=4)
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL trained coarse quantizer: distributed spherical
+    k-means (kmeans_centroids — per-batch partial sums, O(C*dim) driver
+    state) instead of the md5 sample.  Iterative training is not
+    SQL-expressible, so this is a rows-only driver check; the
+    assignment/probe plumbing itself is SQL-oracled via ``ann_ivf_topk``
+    and the trained-quantizer quality is pytest-gated
+    (test_kmeans_centroids_recover_planted_clusters)."""
+    emb = _emb(spark, sf_dir)
+    queries_pd = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .toPandas()
+    )
+    return sim.ann_ivf_topk(emb, queries_pd, dim=64, k=10, n_centroids=16,
+                            nprobe=4, centroids="kmeans", kmeans_iters=3)
+
+
 def _sql_ann_ivf_topk(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
     cos = (
         "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
@@ -1540,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_gemm_topk": q_ann_gemm_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only (iterative)
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_recall": q_embedding_neardup_recall,
         "text_langid": q_text_langid,
