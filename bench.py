@@ -51,6 +51,7 @@ PIPELINE_QUERIES = [
     "ann_gemm_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "embedding_neardup",
     "embedding_neardup_recall",
     "text_langid",

@@ -125,6 +125,11 @@ def main() -> None:
             event_format=FORMAT,
             bucket_count=64,
             max_files_per_trigger=max(n_files // EPOCHS, 1),
+            # fold delta logs at every compact_every tick (the default
+            # max_files=8 lets ~16 epochs accumulate before the first fold,
+            # and that one giant fold's shuffle spill is what a long-running
+            # stream should never save up for)
+            compact_max_files=int(os.environ.get("SOAK_COMPACT_MAX", "4")),
             expire_every=8,           # maintenance engaged mid-run
             post_commit_hook=hook,
         ),
