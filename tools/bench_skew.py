@@ -88,8 +88,9 @@ def _flat(spark, wal: str):
 def _consume(df) -> int:
     from pyspark.sql import functions as F
 
+    # force full evs materialization; pmod keeps the ANSI sum in range
     return df.select(
-        F.sum(F.xxhash64(F.to_json("evs"))).alias("h")
+        F.sum(F.pmod(F.xxhash64(F.to_json("evs")), F.lit(1_000_000_007))).alias("h")
     ).first()["h"] or 0
 
 
