@@ -227,7 +227,15 @@ class CdcEngine:
             and o.included_columns is None
         )
 
-    def apply_batch(self, events: DataFrame, epoch_id: int) -> dict:
+    def apply_batch(
+        self, events: DataFrame, epoch_id: int, head_hint: dict | None = None
+    ) -> dict:
+        """Apply one micro-batch.  ``head_hint`` (optional) supplies the
+        batch head statistics precomputed by an orchestrator — the
+        multi-table engine derives every table's head in ONE grouped pass
+        instead of one aggregation job per table per epoch:
+        ``{"n": int, "max_lsn": int|None, "trunc_ws": [w of 'T' events],
+        "rels": [Row(w, s)|None]}``."""
         table, opts = self.table, self.opts
         run_id = self._run_id()
         if (
@@ -276,31 +284,45 @@ class CdcEngine:
 
         try:
             committed = table.committed_lsn()
-            # one driver action for batch stats + truncate LSN + relation
-            # messages (rare, tiny) — the reference pays one pass per event
-            # (ReplicationListener.cs:234-321); we pay one job per batch
-            head = events.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("w").alias("max_lsn"),
-                F.max(
-                    F.when((F.col("c") == "T") & (F.col("w") > committed), F.col("w"))
-                ).alias("tmax"),
-                F.collect_set(
-                    F.when(F.col("s").isNotNull(), F.struct("w", "s"))
-                ).alias("rels"),
-            ).first()
+            if head_hint is None:
+                # one driver action for batch stats + truncate LSN +
+                # relation messages (rare, tiny) — the reference pays one
+                # pass per event (ReplicationListener.cs:234-321); we pay
+                # one job per batch
+                row = events.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("w").alias("max_lsn"),
+                    F.max(
+                        F.when((F.col("c") == "T") & (F.col("w") > committed), F.col("w"))
+                    ).alias("tmax"),
+                    F.collect_set(
+                        F.when(F.col("s").isNotNull(), F.struct("w", "s"))
+                    ).alias("rels"),
+                ).first()
+                n_events = int(row["n"])
+                max_lsn = row["max_lsn"]
+                tmax = row["tmax"]
+                rels = row["rels"]
+            else:
+                n_events = int(head_hint["n"])
+                max_lsn = head_hint.get("max_lsn")
+                truncs = [
+                    int(w) for w in (head_hint.get("trunc_ws") or [])
+                    if w is not None and int(w) > committed
+                ]
+                tmax = max(truncs) if truncs else None
+                rels = head_hint.get("rels") or []
             _mark("head_agg")
-            n_events = int(head["n"])
             if n_events == 0:
                 return {"skipped": True, "empty": True, "epoch": epoch_id}
-            batch_max_lsn = int(head["max_lsn"])
+            batch_max_lsn = int(max_lsn)
 
             # E1/E2 — evolve before parse/merge (idempotent metadata commit)
             base = self.base_relation()
             versions = [(-1, base)] + [
                 (int(r["w"]), RelationSchema.from_json(r["s"]))
                 for r in sorted(
-                    (x for x in head["rels"] if x is not None),
+                    (x for x in rels if x is not None),
                     key=lambda r: r["w"],
                 )
             ]
@@ -341,7 +363,7 @@ class CdcEngine:
             parsed = parsed.filter(F.col("lsn") > F.lit(committed))
 
             # A5 — truncate epoch split (tmax from the head aggregation)
-            truncate_lsn = int(head["tmax"]) if head["tmax"] is not None else None
+            truncate_lsn = int(tmax) if tmax is not None else None
             truncating = truncate_lsn is not None
             if truncating:
                 parsed = parsed.filter(

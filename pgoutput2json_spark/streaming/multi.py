@@ -114,14 +114,28 @@ class MultiTableCdcEngine:
 
         events = events.persist()
         try:
-            # tiny: one row per (table, has relation) in the batch
+            # ONE grouped pass yields every table's head statistics (count,
+            # max LSN, truncate LSNs, relation messages, first schema) —
+            # tiny result (one row per table), passed to each per-table
+            # engine as ``head_hint`` so a 40-table publication costs ONE
+            # head-aggregation job per epoch, not 40
             heads = (
                 events.groupBy("t")
-                .agg(F.min_by("s", F.when(F.col("s").isNotNull(), F.col("w"))).alias("first_s"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("w").alias("max_lsn"),
+                    F.collect_set(
+                        F.when(F.col("c") == "T", F.col("w"))
+                    ).alias("trunc_ws"),
+                    F.collect_set(
+                        F.when(F.col("s").isNotNull(), F.struct("w", "s"))
+                    ).alias("rels"),
+                    F.min_by("s", F.when(F.col("s").isNotNull(), F.col("w"))).alias("first_s"),
+                )
                 .collect()
             )
             results: dict = {}
-            todo: list[tuple[str, CdcEngine]] = []
+            todo: list[tuple[str, CdcEngine, dict]] = []
             # engine creation is serial (mutates the registry + table DDL);
             # applies fan out below
             for row in heads:
@@ -131,14 +145,21 @@ class MultiTableCdcEngine:
                 if eng is None:
                     results[table] = {"skipped": True, "reason": "no schema yet"}
                 else:
-                    todo.append((table, eng))
+                    hint = {
+                        "n": int(row["n"]),
+                        "max_lsn": row["max_lsn"],
+                        "trunc_ws": [w for w in row["trunc_ws"] if w is not None],
+                        "rels": row["rels"],
+                    }
+                    todo.append((table, eng, hint))
 
             def apply_one(item):
-                table, eng = item
+                table, eng, hint = item
                 # per-table tables are disjoint; Spark job submission is
                 # thread-safe, so stages of different tables overlap
                 return table, eng.apply_batch(
-                    events.filter(F.col("t") == table), epoch_id
+                    events.filter(F.col("t") == table), epoch_id,
+                    head_hint=hint,
                 )
 
             workers = max(1, int(self.opts.max_parallel_tables))

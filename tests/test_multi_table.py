@@ -89,9 +89,9 @@ def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
     spans = {}
     orig = CdcEngine.apply_batch
 
-    def traced(self, events, epoch_id):
+    def traced(self, events, epoch_id, **kw):
         t0 = time.time()
-        out = orig(self, events, epoch_id)
+        out = orig(self, events, epoch_id, **kw)
         spans[self.opts.table_filter] = (t0, time.time())
         return out
 
