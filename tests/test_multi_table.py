@@ -57,6 +57,30 @@ def test_unknown_table_without_schema_is_held(spark, tmpdir_path):
     assert eng.tables() == []
 
 
+def test_truncate_hits_only_its_table(spark, tmpdir_path):
+    """A truncate event in one table's slice must clear THAT table only;
+    the other table's state and the truncating table's post-truncate events
+    survive.  Exercises the shared-head-pass trunc_ws hint (the per-table
+    truncate LSN is now filtered driver-side against each table's own
+    committed watermark)."""
+    eng = mk(spark, tmpdir_path)
+    events = [
+        ev("I", 1, ["doc-000001", [1], 1, "web"], s=DOCS_S, t="public.docs"),
+        ev("I", 2, ["u1", "alice", 10], s=USERS_S, t="public.users"),
+        ev("I", 3, ["doc-000002", [2], 1, "web"], t="public.docs"),
+        ev("T", 4, t="public.docs"),
+        ev("I", 5, ["doc-000003", [3], 1, "post"], t="public.docs"),
+        ev("U", 6, ["u1", "alice", 42], t="public.users"),
+    ]
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    eng.apply_batch(df, 0)
+    docs = eng.engine_for("public.docs").table.read().collect()
+    assert [r["doc_id"] for r in docs] == ["doc-000003"]
+    u = eng.engine_for("public.users").table.read().first()
+    assert u["score"] == 42
+
+
 def test_multi_table_streaming_resume(spark, tmpdir_path):
     import time
 
