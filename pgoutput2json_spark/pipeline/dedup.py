@@ -33,6 +33,20 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def spread_small_input(docs: DataFrame) -> DataFrame:
+    """Repartition when the input has fewer partitions than cores.
+
+    Shingle/signature operators are map-heavy and their frames are often
+    evaluated several times (index build, size agg, both self-join sides);
+    a small corpus in one parquet file would run each evaluation on ONE
+    task.  The shuffle is the raw text (tiny at small scale); at 100 TB the
+    input has more splits than cores and this is a no-op."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (sorted for
     determinism)."""
@@ -96,6 +110,7 @@ def ngram_jaccard_pairs(
     the stopword-removal convention); the hot list is tiny by construction
     (few shingles can exceed a large df), so it broadcasts.
     """
+    docs = spread_small_input(docs)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -150,6 +165,7 @@ def minhash_signatures(
     explode of (shingle x hash-seed) then a map-side-combinable min
     aggregate.  Output: (id, mh_0..mh_{K-1}).
     """
+    docs = spread_small_input(docs)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -227,6 +243,7 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     """Per-document SimHash: each distinct word contributes ±1 to each bit
     position according to its 60-bit md5; signature bit i = 1 iff the sum is
     positive.  Pure integer arithmetic — bit-identical in any engine."""
+    docs = spread_small_input(docs)
     words = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(norm_text(F.col(text_col)), " "))).alias("w"),
