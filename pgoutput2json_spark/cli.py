@@ -13,10 +13,13 @@ Subcommands:
   generate   deterministic synthetic WAL segments (seeded)
   bootstrap  initial snapshot load (S3)
   replay     drain the event directory through Structured Streaming
+  multi-replay  publication-level ingest: one mixed stream, per-table
+             lake tables auto-created from relation messages
   publish    drain the event directory to a broker egress (K2-K7; the
              reference's flagship mode — file transport by default,
              --webhook-url / --kafka-servers for the others)
   show       table state / snapshots / lineage
+  maintain   compact / fold delta logs / expire snapshots
 """
 
 from __future__ import annotations
@@ -82,6 +85,18 @@ def main(argv: list[str] | None = None) -> int:
     pub.add_argument("--webhook-url", default=None)
     pub.add_argument("--kafka-servers", default=None)
     pub.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    mt = sub.add_parser("multi-replay", help="publication-level ingest: one "
+                        "mixed stream, per-table lake tables auto-created "
+                        "from relation messages (DataExporter.cs:44-101)")
+    mt.add_argument("--events-dir", required=True)
+    mt.add_argument("--warehouse", required=True)
+    mt.add_argument("--checkpoint", required=True)
+    mt.add_argument("--format", default="jsonl", choices=["jsonl", "parquet"])
+    mt.add_argument("--buckets", type=int, default=16)
+    mt.add_argument("--max-files-per-trigger", type=int, default=None)
+    mt.add_argument("--max-parallel-tables", type=int, default=4)
+    mt.add_argument("--batch-mode", action="store_true")
 
     s = sub.add_parser("show")
     s.add_argument("--table", required=True)
@@ -179,6 +194,41 @@ def main(argv: list[str] | None = None) -> int:
             "sec": round(time.time() - t0, 2),
             "published_epochs": pub_engine.published_epochs,
         }))
+
+    elif args.cmd == "multi-replay":
+        from pgoutput2json_spark.streaming.multi import (
+            MultiTableCdcEngine,
+            MultiTableOptions,
+        )
+
+        mt_eng = MultiTableCdcEngine(
+            spark,
+            MultiTableOptions(
+                warehouse_root=args.warehouse,
+                events_dir=args.events_dir,
+                checkpoint_dir=args.checkpoint,
+                event_format=args.format,
+                bucket_count=args.buckets,
+                max_files_per_trigger=args.max_files_per_trigger,
+                max_parallel_tables=args.max_parallel_tables,
+            ),
+        )
+        t0 = time.time()
+        if args.batch_mode:
+            mt_eng.replay_batch()
+        else:
+            mt_eng.run_until_drained()
+        out = {
+            "sec": round(time.time() - t0, 2),
+            "tables": {
+                t: {
+                    "rows": mt_eng.engine_for(t).table.read().count(),
+                    "max_lsn": int(mt_eng.engine_for(t).table.property("cdc.max-lsn", -1)),
+                }
+                for t in mt_eng.tables()
+            },
+        }
+        print(json.dumps(out))
 
     elif args.cmd == "maintain":
         from pgoutput2json_spark.lake.table import LakeTable

@@ -86,3 +86,31 @@ def test_cli_maintain(tmp_path, spark):
     snap2 = eng.table.snapshot()
     assert sum(len(v) for v in snap2.get("deltas", {}).values()) == 0
     assert eng.table.read().count() == 120
+
+
+def test_cli_multi_replay(tmp_path, spark):
+    """multi-replay: a hand-written two-table jsonl stream lands in two
+    auto-created warehouse tables via the CLI."""
+    from tests.util import ev, write_jsonl
+
+    docs_s = '["public.docs",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],["source",0,25]]'
+    users_s = '["public.users",["user_id",1,25],["name",0,25],["score",0,23]]'
+    events = [
+        ev("I", 1, ["d1", [1, 2], 2, "web"], s=docs_s, t="public.docs"),
+        ev("I", 2, ["u1", "alice", 10], s=users_s, t="public.users"),
+        ev("U", 3, ["u1", "alice", 77], t="public.users"),
+        ev("I", 4, ["d2", [3], 1, "web"], t="public.docs"),
+        ev("D", 5, k=["d1", None, None, None], t="public.docs"),
+    ]
+    write_jsonl(events, str(tmp_path / "ev"))
+    out = _run(
+        "multi-replay",
+        "--events-dir", str(tmp_path / "ev"),
+        "--warehouse", str(tmp_path / "wh"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--batch-mode",
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["tables"]["public.docs"]["rows"] == 1
+    assert res["tables"]["public.users"]["rows"] == 1
+    assert res["tables"]["public.docs"]["max_lsn"] == 5
