@@ -1,0 +1,139 @@
+"""Property-based tests for the PG text-array decode (the ADVICE r3 bug
+class: quoted elements with embedded delimiters silently corrupting).
+
+Hypothesis generates element lists over a hostile alphabet (commas, quotes,
+backslashes, braces, spaces, NULL-lookalikes), renders them as PG array
+literals with PG's own quoting rules, and checks BOTH strategies against an
+independent reference parser written here (not the shipped pandas kernel):
+
+- pandas strategy: must be exact on every input;
+- catalyst strategy: must be exact, EXCEPT inputs with braces inside quoted
+  segments, where it must yield NULL (the documented safe bail-out) —
+  never a wrong array.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.functions.decode import pg_text_array
+
+
+# hostile alphabet: delimiters, escapes, quote chars, spacing, text
+_ALPHABET = list("ab,\"\\{} 'xNUL")
+
+_element = st.one_of(
+    st.none(),
+    st.text(alphabet=_ALPHABET, min_size=0, max_size=6),
+    st.just("NULL"),
+    st.just("null"),
+    st.just("a, b, c"),
+    st.just('he said "hi, there"'),
+)
+
+
+def _render(elems: list[str | None]) -> str:
+    """Render a PG 1-D array literal with PG's quoting rules: quote when
+    the element is empty, case-insensitively equals NULL, or contains any
+    delimiter/quote/escape/whitespace; escape backslash and double-quote."""
+    parts = []
+    for e in elems:
+        if e is None:
+            parts.append("NULL")
+            continue
+        needs_quote = (
+            e == ""
+            or e.upper() == "NULL"
+            or any(c in e for c in ',"\\{} \t')
+        )
+        if needs_quote:
+            esc = e.replace("\\", "\\\\").replace('"', '\\"')
+            parts.append(f'"{esc}"')
+        else:
+            parts.append(e)
+    return "{" + ",".join(parts) + "}"
+
+
+def _reference_parse(v: str) -> list[str | None]:
+    """Independent single-pass parser of a 1-D PG array literal (written
+    against the PG syntax, NOT copied from the shipped pandas kernel)."""
+    assert v.startswith("{") and v.endswith("}")
+    body = v[1:-1]
+    out: list[str | None] = []
+    if body == "":
+        return out
+    i, n = 0, len(body)
+    while i <= n:
+        # parse one element starting at i
+        if i < n and body[i] == '"':
+            buf = []
+            i += 1
+            while i < n:
+                ch = body[i]
+                if ch == "\\":
+                    buf.append(body[i + 1])
+                    i += 2
+                    continue
+                if ch == '"':
+                    i += 1
+                    break
+                buf.append(ch)
+                i += 1
+            out.append("".join(buf))
+        else:
+            j = body.find(",", i)
+            token = body[i:j] if j != -1 else body[i:]
+            i = (j if j != -1 else n)
+            out.append(None if token.upper() == "NULL" else token)
+        i += 1  # skip the comma
+    return out
+
+
+def _brace_in_quotes(v: str) -> bool:
+    in_q = False
+    i = 0
+    while i < len(v):
+        c = v[i]
+        if in_q and c == "\\":
+            i += 2
+            continue
+        if c == '"':
+            in_q = not in_q
+        elif in_q and c in "{}":
+            return True
+        i += 1
+    return False
+
+
+@pytest.fixture(scope="module")
+def parse_both(spark):
+    def run(literals: list[str]):
+        df = spark.createDataFrame([(x,) for x in literals], "v string")
+        rows = df.select(
+            "v",
+            pg_text_array(F.col("v"), strategy="catalyst").alias("cat"),
+            pg_text_array(F.col("v"), strategy="pandas").alias("pan"),
+        ).collect()
+        return rows
+
+    return run
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.lists(_element, min_size=0, max_size=5), min_size=20, max_size=20))
+def test_text_array_strategies_match_reference(parse_both, batches):
+    literals = [_render(e) for e in batches]
+    for row in parse_both(literals):
+        v = row["v"]
+        want = _reference_parse(v)
+        pan = list(row["pan"]) if row["pan"] is not None else None
+        assert pan == want, f"pandas mismatch on {v!r}: {pan} != {want}"
+        cat = list(row["cat"]) if row["cat"] is not None else None
+        if _brace_in_quotes(v):
+            # documented safe bail-out: NULL, never corrupt data
+            assert cat is None or cat == want, f"catalyst corrupt on {v!r}"
+        else:
+            assert cat == want, f"catalyst mismatch on {v!r}: {cat} != {want}"

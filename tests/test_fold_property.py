@@ -1,0 +1,87 @@
+"""Property-based test of the exact fold semantics vs the serial oracle.
+
+Hypothesis generates random event sequences over a tiny keyspace —
+insert-conflicts, partial/TOAST updates, deletes, re-inserts after delete,
+interleaved in arbitrary LSN order — and the set-oriented fold
+(plans/apply.apply_change_events = snapshot-cut + group + F.aggregate fold)
+must match the pure-Python serial replay (tests/oracle.Oracle) row for row.
+This is the adversarial complement to the deterministic generator streams:
+hypothesis explores orderings the fixed seeds never hit (e.g. a key whose
+LAST event is a no-op insert after a delete, or a TOAST chain crossing a
+delete).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.plans.apply import apply_change_events, fcol
+from tests.oracle import Oracle
+
+KEYS = ["k0", "k1", "k2"]
+FIELDS = [("doc_id", "string"), ("n", "bigint"), ("src", "string")]
+
+# one event: (key_idx, op, n_set, src_set, n_val)
+_event = st.tuples(
+    st.integers(0, len(KEYS) - 1),
+    st.sampled_from(["I", "U", "D"]),
+    st.booleans(),   # n slot set? (unset = TOAST/absent)
+    st.booleans(),   # src slot set?
+    st.integers(0, 9),
+)
+
+
+def _to_oracle(seq):
+    """Positional oracle form: slots [doc_id, n, src]; unset -> TOAST."""
+    evs = []
+    for lsn, (ki, op, n_set, s_set, nv) in enumerate(seq, start=1):
+        key = KEYS[ki]
+        e = {"c": op, "w": lsn}
+        if op == "D":
+            e["k"] = [key, None, None]
+        else:
+            e["r"] = [
+                key,
+                nv if n_set else "__TOAST__",
+                f"s{nv}" if s_set else "__TOAST__",
+            ]
+        evs.append(e)
+    return evs
+
+
+@pytest.fixture(scope="module")
+def run_fold(spark):
+    def run(seq):
+        rows = []
+        for lsn, (ki, op, n_set, s_set, nv) in enumerate(seq, start=1):
+            rows.append((KEYS[ki], lsn, 1, op, n_set, s_set, nv))
+        df = spark.createDataFrame(
+            rows, "doc_id string, lsn long, sub int, op string, "
+                  "n_set boolean, s_set boolean, nv long"
+        )
+        events = df.select(
+            "doc_id", "lsn", "sub", "op",
+            fcol(F.col("op") != "D", F.col("doc_id"), "string").alias("f_doc_id"),
+            fcol((F.col("op") != "D") & F.col("n_set"), F.col("nv"), "bigint").alias("f_n"),
+            fcol((F.col("op") != "D") & F.col("s_set"),
+                 F.concat(F.lit("s"), F.col("nv")), "string").alias("f_src"),
+        )
+        out = apply_change_events(events, FIELDS, "doc_id")
+        return {r["doc_id"]: (r["n"], r["src"]) for r in out.collect()}
+
+    return run
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=12))
+def test_fold_matches_serial_oracle(run_fold, seq):
+    got = run_fold(seq)
+    o = Oracle(columns=["doc_id", "n", "src"], key="doc_id")
+    o.replay(_to_oracle(seq))
+    want = {
+        k: (v.get("n"), v.get("src")) for k, v in o.table().items()
+    }
+    assert got == want, f"seq={seq}\nengine={got}\noracle={want}"
