@@ -4,9 +4,10 @@ Re-expresses the reference's JSON encode/decode kernel
 (src/PgOutput2Json/JsonUtils.cs:8-269, dispatched by OID in
 JsonWriter.cs:316-370) as Spark column expressions.  Everything on the hot
 path (number arrays = the ``tokens`` payload, bools, bytea, NaN handling) is
-pure JVM/Catalyst; only quoted-text-array parsing — which has PG-specific
-escape rules and is never on the token hot path — uses an Arrow-batched
-pandas UDF (no row-at-a-time Python anywhere).
+pure JVM/Catalyst; text-array parsing defaults to a quote-region-aware
+Catalyst rewrite (exact for quoted commas/escapes, NULL bail-out only for
+braces inside quotes) with an Arrow-batched pandas UDF as the exact
+opt-in for pathological quoting (no row-at-a-time Python anywhere).
 """
 
 from __future__ import annotations

@@ -406,6 +406,9 @@ def cosine_neardup_pairs(
       n(n-1)/2 join rows, the 100 TB failure mode.  Hot-bucket members
       usually collide in another band, so recall loss is bounded.
     """
+    from pgoutput2json_spark.pipeline.dedup import spread_small_input
+
+    vectors = spread_small_input(vectors)  # SRP projections evaluate per side
     bands_df = None
     for b in range(bands):
         vb = vectors.select(
