@@ -167,11 +167,19 @@ def hot_key_stream(
 
     ``key_col_expr`` defaults to the first ``k`` slot (the envelope's key
     image; inserts fall back to the first ``r`` slot — for the docs relation
-    both are the doc_id).
+    both are the doc_id).  Works on BOTH envelope shapes: the parsed array
+    form and the lazy raw form (``k``/``r`` as raw JSON text,
+    RAW_EVENT_SCHEMA), where the slot comes from a ``get_json_object``
+    skip-parse.
     """
-    key = key_col_expr if key_col_expr is not None else F.coalesce(
-        F.element_at("k", 1), F.element_at("r", 1)
-    )
+    if key_col_expr is not None:
+        key = key_col_expr
+    elif dict(events.dtypes).get("k") == "string":
+        key = F.coalesce(
+            F.get_json_object("k", "$[0]"), F.get_json_object("r", "$[0]")
+        )
+    else:
+        key = F.coalesce(F.element_at("k", 1), F.element_at("r", 1))
     per_key = events.select(
         key.cast("string").alias("key"), F.col("w")
     ).filter(F.col("key").isNotNull())

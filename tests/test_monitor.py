@@ -210,3 +210,32 @@ def test_skew_feedback_attach_to_stream(spark, stream_dirs):
     q.stop()
     assert fb.hot_keys().get("viral", 0) >= 4
     assert fb.salt_factor(64) == 128  # 8 events = 2x threshold -> one doubling
+
+
+def test_hot_key_stream_on_raw_envelope(spark, stream_dirs):
+    """hot_key_stream must work on the lazy RAW envelope too (k/r as raw
+    JSON text — the shape the engine's jsonl stream now carries), deriving
+    the key via a get_json_object skip-parse."""
+    ev_dir, ckpt = stream_dirs
+    base = 1_700_000_000_000
+    _write_segment(
+        ev_dir / "raw.jsonl",
+        [_ev("U", w, "rawhot", base + w) for w in range(1, 6)]
+        + [_ev("I", 9, "cold", base + 9)],
+    )
+    from pgoutput2json_spark.sources.events import read_events_stream
+
+    sink: list = []
+    stream = read_events_stream(spark, str(ev_dir), "jsonl", lazy=True)
+    assert dict(stream.dtypes)["k"] == "string"
+    q = (
+        hot_key_stream(stream, threshold=5)
+        .writeStream.foreachBatch(lambda df, eid: sink.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r["total_events"] for r in sink}
+    assert got == {"rawhot": 5}
