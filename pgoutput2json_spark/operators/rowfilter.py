@@ -22,6 +22,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def referenced_columns(predicate: str, field_names: list[str]) -> list[str]:
+    """Field names the predicate might reference (identifier-token scan;
+    over-matching — e.g. a string literal spelling a column name — only
+    decodes an extra column, never misses one)."""
+    import re
+
+    idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", predicate))
+    return [n for n in field_names if n in idents]
+
+
+def apply_row_filter_raw(
+    parsed: DataFrame,
+    versions: list,
+    target_fields: list[dict],
+    predicate: str,
+) -> DataFrame:
+    """Row filter on the LAZY raw envelope (``parse_events_raw`` output:
+    op/lsn/old_key/new_key/full_row + raw ``r`` text): only the predicate's
+    REFERENCED columns are decoded, each via a per-relation-version
+    ``get_json_object`` skip-parse of the raw row — the full slot decode
+    stays deferred to cut survivors.  Same semantics as
+    :func:`apply_row_filter`: filtered inserts dropped, updates leaving the
+    filter become deletes, D/T always pass, NULL = not-matching."""
+    from pgoutput2json_spark.lake.table import _parse_type
+    from pgoutput2json_spark.operators.parse import _parse_slot, _per_version
+    from pgoutput2json_spark.schema import TOAST_SENTINEL
+
+    names = [f["name"] for f in target_fields]
+    refs = referenced_columns(predicate, names)
+    cols = []
+    for fdict in target_fields:
+        name = fdict["name"]
+        if name not in refs:
+            continue
+        dtype = _parse_type(fdict["type"])
+
+        def build(rel, name=name, dtype=dtype):
+            pos = next(
+                (i for i, c in enumerate(rel.columns) if c.name == name), None
+            )
+            if pos is None:
+                return F.lit(None).cast(dtype)
+            raw = F.get_json_object(F.col("r"), f"$[{pos}]")
+            return F.when(
+                raw.isNull() | (raw == TOAST_SENTINEL), F.lit(None).cast(dtype)
+            ).otherwise(_parse_slot(raw, dtype))
+
+        cols.append(
+            _per_version(versions, build, w=F.col("lsn")).alias(name)
+        )
+
+    src = parsed.columns
+    tmp = parsed.select(F.struct(*src).alias("__e"), *cols)
+    keep = F.coalesce(F.expr(predicate), F.lit(False))
+    op = F.col("__e.op")
+    flt = tmp.withColumn("__keep", keep).filter(
+        op.isin("D", "T") | (op == "U") | F.col("__keep")
+    )
+    out = flt.select("__e.*", "__keep")
+    return out.withColumn(
+        "op",
+        F.when((F.col("op") == "U") & ~F.col("__keep"), F.lit("D")).otherwise(
+            F.col("op")
+        ),
+    ).drop("__keep")
+
+
 def apply_row_filter(
     parsed: DataFrame, field_names: list[str], predicate: str
 ) -> DataFrame:

@@ -48,7 +48,10 @@ from pgoutput2json_spark.operators.parse import (
     parse_events,
     parse_events_raw,
 )
-from pgoutput2json_spark.operators.rowfilter import apply_row_filter
+from pgoutput2json_spark.operators.rowfilter import (
+    apply_row_filter,
+    apply_row_filter_raw,
+)
 from pgoutput2json_spark.schema import DOCS_RELATION, RelationSchema
 from pgoutput2json_spark.sources.events import read_events, read_events_stream
 
@@ -217,13 +220,14 @@ class CdcEngine:
 
     def _lazy_supported(self) -> bool:
         """Whether the lazy (raw k/r text) envelope can serve this config:
-        compact jsonl with no per-event pre-cut value evaluation (row
-        filters and column allow-lists need parsed slots eagerly)."""
+        compact jsonl without a column allow-list (P1 changes which slots
+        count as set, which the deferred cut test cannot see).  Row filters
+        ARE supported lazily — only the predicate's referenced columns
+        decode pre-cut (apply_row_filter_raw)."""
         o = self.opts
         return (
             o.event_format == "jsonl"
             and o.json_mode == "compact"
-            and o.row_filter is None
             and o.included_columns is None
         )
 
@@ -339,6 +343,12 @@ class CdcEngine:
                 # deferred ENVELOPE decode: keys by skip-parse, slots decode
                 # post-cut (parse.parse_events_raw docstring)
                 parsed = parse_events_raw(events, versions, fields)
+                if opts.row_filter:
+                    # only the predicate's referenced columns decode here
+                    # (skip-parse per column); the rest stay deferred
+                    parsed = apply_row_filter_raw(
+                        parsed, versions, fields, opts.row_filter
+                    )
             else:
                 parse_fn = (
                     parse_default_events if opts.json_mode == "default" else parse_events

@@ -97,14 +97,42 @@ def test_engine_reads_lazy_by_default_for_jsonl(spark, tmp_path, wal):
     assert eager.exceptAll(got).count() == 0
 
 
-def test_lazy_gate_disabled_by_row_filter(spark, tmp_path, wal):
-    """A row filter needs eager slot values: the engine upgrades a raw
-    envelope in place and still applies correctly."""
-    eng = make_engine(spark, tmp_path / "rf")
-    eng.opts.row_filter = "source <> 'books'"
+def _rf_state(spark, tmpdir, wal, predicate, lazy):
+    eng = make_engine(spark, tmpdir)
+    eng.opts.row_filter = predicate
+    schema = RAW_EVENT_SCHEMA if lazy else EVENT_SCHEMA
+    df = spark.read.schema(schema).json(os.path.join(wal, "*.txt"))
+    eng.apply_batch(df, epoch_id=0)
+    return eng.table.read()
+
+
+@pytest.mark.parametrize(
+    "predicate",
+    ["source <> 'books'", "n_tok >= 20 AND source IS NOT NULL"],
+)
+def test_lazy_row_filter_equals_eager(spark, tmp_path, wal, predicate):
+    """Row filters run lazily too (apply_row_filter_raw decodes only the
+    predicate's referenced columns by skip-parse): the final state must
+    match the eager path exactly — including update->delete translation
+    and TOAST'd rows whose filter columns come from the raw image."""
+    tag = str(abs(hash(predicate)) % 10_000)
+    eager = _rf_state(spark, tmp_path / f"e{tag}", wal, predicate, lazy=False)
+    lazy = _rf_state(spark, tmp_path / f"l{tag}", wal, predicate, lazy=True)
+    assert eager.exceptAll(lazy).count() == 0
+    assert lazy.exceptAll(eager).count() == 0
+    assert lazy.count() > 0
+
+
+def test_lazy_gate_still_disabled_by_included_columns(spark, tmp_path, wal):
+    """The P1 allow-list changes which slots count as set — the deferred
+    cut test cannot see that, so the engine upgrades the raw envelope in
+    place and takes the eager path."""
+    eng = make_engine(spark, tmp_path / "inc")
+    eng.opts.included_columns = ("doc_id", "source")
     assert not eng._lazy_supported()
     df = spark.read.schema(RAW_EVENT_SCHEMA).json(os.path.join(wal, "*.txt"))
     eng.apply_batch(df, epoch_id=0)
     rows = eng.table.read()
-    assert rows.filter(F.col("source") == "books").count() == 0
     assert rows.count() > 0
+    # excluded column never set by events
+    assert rows.filter(F.col("tokens").isNotNull()).count() == 0
