@@ -66,6 +66,7 @@ def salted_lww_reduce_raw(
     versions: list,
     target_fields: list[dict],
     salt: int = 64,
+    included: tuple | None = None,
 ) -> DataFrame:
     """Lazy-envelope LWW: the two-phase salted ``max_by`` carries only the
     RAW row text (one string per event, not per-slot structs); the single
@@ -102,18 +103,23 @@ def salted_lww_reduce_raw(
     phase2 = phase2.withColumn(
         "__r_arr", F.from_json(F.col("win")["r"], "array<string>")
     )
-    v = F.struct(
-        *[
-            _per_version(
-                versions,
-                lambda rel, name=f["name"], dt=_parse_type(f["type"]): _field_struct(
-                    F.col("__r_arr"), rel, name, dt
-                ),
-                w=F.col("win")["lsn"],
-            ).alias(f["name"])
-            for f in target_fields
-        ]
-    )
+    key_names = {n for _, rel in versions for n in rel.key_columns}
+
+    def field_col(f):
+        name, dt = f["name"], _parse_type(f["type"])
+        if included is not None and name not in included and name not in key_names:
+            return F.struct(
+                F.lit(False).alias("set"), F.lit(None).cast(dt).alias("val")
+            ).alias(name)
+        return _per_version(
+            versions,
+            lambda rel, name=name, dt=dt: _field_struct(
+                F.col("__r_arr"), rel, name, dt
+            ),
+            w=F.col("win")["lsn"],
+        ).alias(name)
+
+    v = F.struct(*[field_col(f) for f in target_fields])
     win_ev = F.struct(
         F.col("win")["lsn"].alias("lsn"),
         F.col("win")["sub"].alias("sub"),

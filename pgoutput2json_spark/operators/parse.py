@@ -257,6 +257,7 @@ def parse_events_raw(
     events: DataFrame,
     versions: list[tuple[int, RelationSchema]],
     target_fields: list[dict],
+    included: tuple | None = None,
 ) -> DataFrame:
     """Minimal parse of the RAW jsonl envelope (``k``/``r`` captured as raw
     JSON array *text*, schema.RAW_EVENT_SCHEMA) — the deferred **envelope**
@@ -277,6 +278,11 @@ def parse_events_raw(
     runs later, via :func:`decode_raw_rows`, on cut SURVIVORS only.  This
     is the read-side analogue of the reference's single-pass zero-allocation
     encode (JsonWriter.cs:24-32).
+
+    ``included`` (P1 column allow-list): with an allow-list the eager path's
+    all-columns-set test is never true (excluded columns are permanently
+    unset), so ``full_row`` is pinned false — only deletes cut, matching the
+    eager semantics exactly (conservative, never wrong).
     """
     assert versions and versions[0][0] <= 0
     target_names = [f["name"] for f in target_fields]
@@ -302,6 +308,8 @@ def parse_events_raw(
         & covers
         & ~F.col("r").contains(F.lit(TOAST_SENTINEL))
     )
+    if included is not None:
+        full = F.lit(False)
     return events.select(
         F.col("c").alias("op"),
         F.col("w").alias("lsn"),
@@ -317,6 +325,7 @@ def decode_raw_rows(
     versions: list[tuple[int, RelationSchema]],
     target_fields: list[dict],
     carry: tuple = ("doc_id", "lsn", "sub", "op"),
+    included: tuple | None = None,
 ) -> DataFrame:
     """Full positional decode of cut survivors carrying raw ``r`` text:
     ONE ``from_json`` per row — kept in its own projection (CollapseProject
@@ -327,9 +336,18 @@ def decode_raw_rows(
     from pgoutput2json_spark.lake.table import _parse_type
 
     df = df.withColumn("__r_arr", F.from_json("r", "array<string>"))
+    key_names = {n for _, rel in versions for n in rel.key_columns}
     cols: list[Column] = [F.col(c) for c in carry]
     for fdict in target_fields:
         name, dtype = fdict["name"], _parse_type(fdict["type"])
+        if included is not None and name not in included and name not in key_names:
+            cols.append(
+                F.struct(
+                    F.lit(False).alias("set"),
+                    F.lit(None).cast(dtype).alias("val"),
+                ).alias(f"f_{name}")
+            )
+            continue
         cols.append(
             _per_version(
                 versions,

@@ -220,16 +220,14 @@ class CdcEngine:
 
     def _lazy_supported(self) -> bool:
         """Whether the lazy (raw k/r text) envelope can serve this config:
-        compact jsonl without a column allow-list (P1 changes which slots
-        count as set, which the deferred cut test cannot see).  Row filters
-        ARE supported lazily — only the predicate's referenced columns
-        decode pre-cut (apply_row_filter_raw)."""
+        every compact-jsonl configuration does.  Row filters decode only
+        the predicate's referenced columns pre-cut (apply_row_filter_raw);
+        a P1 allow-list pins ``full_row`` false (only deletes cut — the
+        same decisions the eager all-columns-set test makes, since excluded
+        columns are permanently unset) and excludes columns at survivor
+        decode."""
         o = self.opts
-        return (
-            o.event_format == "jsonl"
-            and o.json_mode == "compact"
-            and o.included_columns is None
-        )
+        return o.event_format == "jsonl" and o.json_mode == "compact"
 
     def apply_batch(
         self, events: DataFrame, epoch_id: int, head_hint: dict | None = None
@@ -342,7 +340,9 @@ class CdcEngine:
             if lazy_env:
                 # deferred ENVELOPE decode: keys by skip-parse, slots decode
                 # post-cut (parse.parse_events_raw docstring)
-                parsed = parse_events_raw(events, versions, fields)
+                parsed = parse_events_raw(
+                    events, versions, fields, included=opts.included_columns
+                )
                 if opts.row_filter:
                     # only the predicate's referenced columns decode here
                     # (skip-parse per column); the rest stay deferred
@@ -396,7 +396,8 @@ class CdcEngine:
                 )
                 if lazy_env:
                     grouped = salted_lww_reduce_raw(
-                        flat, versions, fields, salt=skew_salt
+                        flat, versions, fields, salt=skew_salt,
+                        included=opts.included_columns,
                     ).persist()
                 else:
                     if deferred:
@@ -414,7 +415,9 @@ class CdcEngine:
                                     persist_registry=batch_caches,
                                     is_snapshot=lazy_snap)
                 if lazy_env:
-                    flat = decode_raw_rows(flat, versions, fields)
+                    flat = decode_raw_rows(
+                        flat, versions, fields, included=opts.included_columns
+                    )
                 elif deferred:
                     flat = decode_fields(flat, fields)
                 grouped = group_events(flat, field_names).persist()

@@ -123,16 +123,27 @@ def test_lazy_row_filter_equals_eager(spark, tmp_path, wal, predicate):
     assert lazy.count() > 0
 
 
-def test_lazy_gate_still_disabled_by_included_columns(spark, tmp_path, wal):
-    """The P1 allow-list changes which slots count as set — the deferred
-    cut test cannot see that, so the engine upgrades the raw envelope in
-    place and takes the eager path."""
-    eng = make_engine(spark, tmp_path / "inc")
+def _inc_state(spark, tmpdir, wal, lazy, apply_mode="exact"):
+    eng = make_engine(spark, tmpdir)
     eng.opts.included_columns = ("doc_id", "source")
-    assert not eng._lazy_supported()
-    df = spark.read.schema(RAW_EVENT_SCHEMA).json(os.path.join(wal, "*.txt"))
+    eng.opts.apply_mode = apply_mode
+    assert eng._lazy_supported()
+    schema = RAW_EVENT_SCHEMA if lazy else EVENT_SCHEMA
+    df = spark.read.schema(schema).json(os.path.join(wal, "*.txt"))
     eng.apply_batch(df, epoch_id=0)
-    rows = eng.table.read()
-    assert rows.count() > 0
-    # excluded column never set by events
-    assert rows.filter(F.col("tokens").isNotNull()).count() == 0
+    return eng.table.read()
+
+
+@pytest.mark.parametrize("apply_mode", ["exact", "lww"])
+def test_lazy_included_columns_equals_eager(spark, tmp_path, wal, apply_mode):
+    """The P1 allow-list runs lazily too: full_row pins false (only deletes
+    cut — exactly the eager all-set test's decisions, since excluded
+    columns are permanently unset) and excluded columns stay unset at
+    survivor/winner decode.  State must match the eager path and the
+    excluded column must never be set."""
+    eager = _inc_state(spark, tmp_path / f"ie-{apply_mode}", wal, False, apply_mode)
+    lazy = _inc_state(spark, tmp_path / f"il-{apply_mode}", wal, True, apply_mode)
+    assert eager.exceptAll(lazy).count() == 0
+    assert lazy.exceptAll(eager).count() == 0
+    assert lazy.count() > 0
+    assert lazy.filter(F.col("tokens").isNotNull()).count() == 0
