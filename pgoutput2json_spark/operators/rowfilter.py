@@ -25,11 +25,18 @@ from pyspark.sql import DataFrame, functions as F
 def referenced_columns(predicate: str, field_names: list[str]) -> list[str]:
     """Field names the predicate might reference (identifier-token scan;
     over-matching — e.g. a string literal spelling a column name — only
-    decodes an extra column, never misses one)."""
+    decodes an extra column, never misses one).  Matching is
+    case-insensitive to mirror Spark's default resolution
+    (``spark.sql.caseSensitive=false``): a predicate spelled ``SOURCE =
+    'web'`` must still decode the ``source`` column on the lazy path, or
+    ``F.expr`` would hit an unresolved-column error at analysis time."""
     import re
 
-    idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", predicate))
-    return [n for n in field_names if n in idents]
+    idents = {
+        s.casefold()
+        for s in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", predicate)
+    }
+    return [n for n in field_names if n.casefold() in idents]
 
 
 def apply_row_filter_raw(

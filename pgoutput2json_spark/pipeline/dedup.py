@@ -40,10 +40,18 @@ def spread_small_input(docs: DataFrame) -> DataFrame:
     evaluated several times (index build, size agg, both self-join sides);
     a small corpus in one parquet file would run each evaluation on ONE
     task.  The shuffle is the raw text (tiny at small scale); at 100 TB the
-    input has more splits than cores and this is a no-op."""
+    input has more splits than cores and this is a no-op.
+
+    ``df.rdd.getNumPartitions()`` forces a DataFrame→RDD plan conversion,
+    so the decision is memoized on the DataFrame object: operators that
+    thread the same frame through several spread-guarded stages (e.g. the
+    SRP banding loop) pay the planning cost once per query, not per call."""
+    if getattr(docs, "_p2j_spread", False):
+        return docs
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        return docs.repartition(sc.defaultParallelism)
+        docs = docs.repartition(sc.defaultParallelism)
+    docs._p2j_spread = True
     return docs
 
 

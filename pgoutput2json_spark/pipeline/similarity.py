@@ -243,7 +243,9 @@ def kmeans_centroids(
                 if pdf.empty:
                     continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0  # zero vectors stay zero, not NaN
+                mn = m / norms
                 a = np.argmax(mn @ bc.value.T, axis=1)
                 c = bc.value.shape[0]
                 counts = np.bincount(a, minlength=c)
@@ -485,13 +487,17 @@ def exact_pair_count_gemm(
             lower = pdf[id_col].to_numpy()[:, None] < bids.value[None, :]
             yield pd.DataFrame({"n": [int(((scores >= threshold) & lower).sum())]})
 
-    row = (
-        vectors.select(id_col, vec_col)
-        .mapInPandas(cnt, schema="n long")
-        .agg(F.sum("n").alias("n"))
-        .first()
-    )
-    return int(row["n"] or 0)
+    try:
+        row = (
+            vectors.select(id_col, vec_col)
+            .mapInPandas(cnt, schema="n long")
+            .agg(F.sum("n").alias("n"))
+            .first()
+        )
+        return int(row["n"] or 0)
+    finally:
+        bm.destroy()
+        bids.destroy()
 
 
 def neardup_recall(

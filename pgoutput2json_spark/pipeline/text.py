@@ -149,9 +149,9 @@ def repetition_stats(
     fewer partitions than cores are spread first (a 10 MB text shuffle; at
     100 TB the input has more splits than cores and this is a no-op).  All
     fractions rounded to 6 dp for exact oracle parity."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    from pgoutput2json_spark.pipeline.dedup import spread_small_input
+
+    docs = spread_small_input(docs)
     t = F.col(text_col)
     w = words(t)
     n_words = F.size(w)

@@ -91,7 +91,15 @@ class EngineOptions:
     #: P2 publication row filter (pg_publication_tables.rowfilter precedent,
     #: DataExporter.cs:118-131,505-539): SQL predicate over column names,
     #: applied to new row images (updates leaving the filter become deletes)
-    #: and to bootstrap snapshots
+    #: and to bootstrap snapshots.
+    #: KNOWN LIMITATION (both eager and lazy paths, intentionally in parity):
+    #: a TOAST'd unchanged column in an UPDATE's new image evaluates as NULL
+    #: in the predicate (= not-matching), so an update whose real stored
+    #: value still satisfies the filter is translated to a delete.  pgoutput
+    #: evaluates row filters server-side against the full row, so it never
+    #: sees the sentinel.  Workaround: include all filter-referenced columns
+    #: in the table's REPLICA IDENTITY (pgoutput then sends them), or avoid
+    #: filtering on TOAST-able columns.
     row_filter: str | None = None
     #: K1 app-callback: called with the commit summary after each batch
     post_commit_hook: object | None = None

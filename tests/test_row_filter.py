@@ -49,6 +49,21 @@ def test_row_filter_bootstrap(spark, tmpdir_path):
     assert [r["doc_id"] for r in eng.table.read().collect()] == ["a"]
 
 
+def test_row_filter_case_insensitive_identifiers(spark, tmpdir_path):
+    """A predicate spelling a column in a different case (SOURCE vs source)
+    must work on the lazy jsonl path: Spark resolves references
+    case-insensitively, so referenced_columns must too — otherwise the
+    column is never decoded and F.expr fails at analysis time."""
+    eng = make_engine(spark, tmpdir_path, row_filter="SOURCE = 'web'")
+    _apply(spark, eng, [
+        ev("I", 1, ["a", [1], 1, "web"]),
+        ev("I", 2, ["b", [2], 1, "code"]),
+        ev("U", 3, ["b", [3], 1, "web"]),   # moves into the filter
+        ev("U", 4, ["a", [4], 1, "code"]),  # leaves -> delete
+    ], 0)
+    assert {r["doc_id"] for r in eng.table.read().collect()} == {"b"}
+
+
 def test_row_filter_null_predicate_is_false(spark, tmpdir_path):
     """NULL predicate result = not matching (SQL WHERE semantics): an insert
     with NULL n_tok is dropped by 'n_tok >= 2'."""
