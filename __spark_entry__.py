@@ -833,10 +833,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL trained coarse quantizer: distributed spherical
     k-means (kmeans_centroids — per-batch partial sums, O(C*dim) driver
-    state) instead of the md5 sample.  Iterative training is not
-    SQL-expressible, so this is a rows-only driver check; the
-    assignment/probe plumbing itself is SQL-oracled via ``ann_ivf_topk``
-    and the trained-quantizer quality is pytest-gated
+    state) instead of the md5 sample.  Hash-checked against a DuckDB oracle
+    that UNROLLS the fixed 3 Lloyd's iterations in SQL and re-trains the
+    quantizer independently (see _sql_ann_ivf_kmeans_topk); bit-parity
+    rests on the trainer's 6-dp-score / 9-dp-centroid rounding contract.
+    Trained-quantizer quality is additionally pytest-gated
     (test_kmeans_centroids_recover_planted_clusters)."""
     emb = _emb(spark, sf_dir)
     queries_pd = (
@@ -895,6 +896,111 @@ ranked AS (
 )
 SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= {k}
 """
+
+
+def _sql_ann_ivf_kmeans_topk(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Full-independence oracle for the TRAINED IVF quantizer: the fixed
+    ``iters`` Lloyd's iterations are UNROLLED into SQL (assign -> per-dim
+    means -> renormalize, one CTE pair per iteration), so DuckDB re-trains
+    the quantizer from scratch — no centroids smuggled in as literals, and
+    the oracle stays sf-agnostic.  Bit-parity with
+    ``similarity.kmeans_centroids`` rests on its rounding contract:
+    assignment scores round to 6 dp before the argmax (ties -> lowest
+    centroid index) and centroid coordinates round to 9 dp after each
+    normalization, which absorbs numpy-vs-DuckDB float64 summation-order
+    drift."""
+    cos = (
+        "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+        " (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+        "  sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 4)"
+    )
+    parts = [
+        f"""
+vn AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS vn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings)
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY c_id) - 1 AS cid,
+         list_transform(c_vec, x -> round(x / nrm, 9)) AS c
+  FROM (
+    SELECT c_id, c_vec, sqrt(list_dot_product(c_vec, c_vec)) AS nrm FROM (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec,
+             {MD5L.format(x="'ivf:' || vec_id")} AS h
+      FROM embeddings ORDER BY h, c_id LIMIT {n_centroids}))
+)"""
+    ]
+    for i in range(iters):
+        parts.append(f"""
+assign{i} AS (
+  SELECT vec_id, vn, cid FROM (
+    SELECT v.vec_id, v.vn, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.vn, c.c), 6) DESC, c.cid) AS rn
+    FROM vn v CROSS JOIN cent{i} c) WHERE rn = 1
+),
+mean{i} AS (
+  SELECT s.cid, list(s.s / n.n ORDER BY s.d) AS m
+  FROM (SELECT cid, d, sum(x) AS s
+        FROM (SELECT cid, unnest(vn) AS x, unnest(range(1, {dim + 1})) AS d
+              FROM assign{i})
+        GROUP BY cid, d) s
+  JOIN (SELECT cid, count(*) AS n FROM assign{i} GROUP BY cid) n USING (cid)
+  GROUP BY s.cid
+),
+cent{i + 1} AS (
+  SELECT cid, list_transform(nv, x ->
+           round(x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END), 9)) AS c
+  FROM (
+    SELECT p.cid, coalesce(m.m, p.c) AS nv,
+           sqrt(list_dot_product(coalesce(m.m, p.c), coalesce(m.m, p.c))) AS nrm
+    FROM cent{i} p LEFT JOIN mean{i} m USING (cid))
+)""")
+    final = f"cent{iters}"
+    parts.append(f"""
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.cid AS list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.embedding", b="c.c")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+probe AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.q_id, c.cid AS list_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {cos.format(a="q.q_vec", b="c.c")} DESC, c.cid) AS rn
+    FROM q CROSS JOIN {final} c)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         {cos.format(a="e.embedding", b="q.q_vec")} AS score
+  FROM probe p JOIN assign a USING (list_id)
+       JOIN embeddings e ON e.vec_id = a.vec_id
+       JOIN q ON q.q_id = p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= {k}""")
+    return "WITH " + ",".join(parts)
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,7 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_gemm_topk": q_ann_gemm_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only (iterative)
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_recall": q_embedding_neardup_recall,
         "text_langid": q_text_langid,
@@ -1601,6 +1707,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_gemm_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(dim=64, planes=8, k=10),
         "ann_ivf_topk": _sql_ann_ivf_topk(n_centroids=16, nprobe=4, k=10),
+        "ann_ivf_kmeans_topk": _sql_ann_ivf_kmeans_topk(
+            n_centroids=16, nprobe=4, k=10, iters=3, dim=64
+        ),
         "embedding_neardup": SQL_NEARDUP_BRUTE,
         "embedding_neardup_recall": _sql_neardup_recall(
             dim=64, planes=8, bands=3, threshold=0.25

@@ -229,11 +229,20 @@ def kmeans_centroids(
     C*dim rows per batch, so the shuffle is tiny and the data never moves.
     New centroids = normalized means (empty clusters keep their previous
     position).  Scales as O(iters * N * C * dim / executors) compute with
-    O(C * dim) driver state — the same shape at 100 TB."""
+    O(C * dim) driver state — the same shape at 100 TB.
+
+    ROUNDING CONTRACT (engine-portability, the same convention the 4-dp
+    cosine scores use): assignment scores round to 6 dp before the argmax
+    (ties -> lowest centroid index) and centroid coordinates round to 9 dp
+    after each normalization.  Summation-order float64 drift (numpy GEMM
+    partial sums vs a serial/SQL reimplementation) is ~1e-13, absorbed by
+    the rounding, so an independent engine unrolling the same iterations —
+    the DuckDB oracle for ``ann_ivf_kmeans_topk`` does exactly this —
+    reproduces the trained quantizer bit-for-bit."""
     spark = vectors.sparkSession
     init = ivf_centroids(vectors, n_centroids, vec_col, id_col)
     cm = np.stack(init["c_vec"].to_numpy()).astype(np.float64)
-    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cm = np.round(cm / np.linalg.norm(cm, axis=1, keepdims=True), 9)
     vec = vectors.select(vec_col)
     for _ in range(max(iters, 0)):
         bc = spark.sparkContext.broadcast(cm)
@@ -246,7 +255,7 @@ def kmeans_centroids(
                 norms = np.linalg.norm(m, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0  # zero vectors stay zero, not NaN
                 mn = m / norms
-                a = np.argmax(mn @ bc.value.T, axis=1)
+                a = np.argmax(np.round(mn @ bc.value.T, 6), axis=1)
                 c = bc.value.shape[0]
                 counts = np.bincount(a, minlength=c)
                 sums = np.zeros_like(bc.value)
@@ -275,7 +284,7 @@ def kmeans_centroids(
         new = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], cm)
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        cm = new / norms
+        cm = np.round(new / norms, 9)
         bc.destroy()
     return pd.DataFrame(
         {"c_id": np.arange(cm.shape[0]), "c_vec": [r.copy() for r in cm]}
