@@ -517,12 +517,20 @@ class LakeTable:
         that snapshot folded in)."""
         return self._read_state(self.snapshot(version), buckets)
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(self, keep_last: int = 1, grace_sec: float = 0.0) -> int:
         """Delete data files referenced only by expired snapshots (the
         copy-on-write merge orphans old bucket files; Iceberg's
         expire_snapshots analogue).  Snapshot JSONs are kept (tiny) but
         their files may be gone; ``read_at`` below ``current - keep_last``
-        becomes invalid.  Returns number of files deleted."""
+        becomes invalid.  Returns number of files deleted.
+
+        ``grace_sec``: never delete files younger than this (mtime).  A
+        concurrent writer stages data files BEFORE its commit references
+        them, so a zero-grace GC running as a side job could unlink an
+        in-flight commit's files (Iceberg's remove_orphan_files has the
+        same ``older_than`` guard for the same reason).  The engine's
+        async maintenance passes a generous grace; true orphans (conflict
+        losers) age past it and are collected by a later cycle."""
         cur = self.current_version()
         live: set[str] = set()
         for v in range(max(1, cur - keep_last + 1), cur + 1):
@@ -532,12 +540,15 @@ class LakeTable:
             for fl in s.get("deltas", {}).values():
                 live.update(fl)
         deleted = 0
+        now = time.time()
         data_root = os.path.join(self.root, "data")
         for dirpath, _dirs, files in os.walk(data_root):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if rel not in live and fn.endswith(".parquet"):
+                    if grace_sec and now - os.path.getmtime(full) < grace_sec:
+                        continue
                     os.unlink(full)
                     deleted += 1
         return deleted

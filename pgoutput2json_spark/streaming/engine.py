@@ -111,10 +111,19 @@ class EngineOptions:
     #: count exceeds the threshold and GC files orphaned by CoW merges
     #: (0 = disabled).  Non-zero by default so merge-on-read delta logs are
     #: bounded out of the box (read cost stays O(base + few epochs), see
-    #: BENCH/BASELINE.md read-amp table).  At 10^10-event scale this runs
-    #: as a side job.
+    #: BENCH/BASELINE.md read-amp table).
     compact_every: int = 8
     compact_max_files: int = 8
+    #: run compaction/expiry CONCURRENTLY with the next micro-batch on a
+    #: single background thread (default) instead of inline in foreachBatch.
+    #: SOAK_r4 measured 3-4x epoch stalls whenever maintenance fired inline;
+    #: overlapping removes them.  Safety: the apply commit retries once per
+    #: intervening *compact* commit (compaction is content-preserving, so
+    #: re-pointing the same data files at the newer base is exact — the
+    #: optimistic-versioning CAS makes the race detectable), and async
+    #: expiry passes a file-age grace so it can never GC an in-flight
+    #: commit's staged files.  Set False for strictly serial epochs.
+    maintenance_async: bool = True
     #: snapshot-metadata expiry, decoupled from compaction (ADVICE r3):
     #: every N epochs drop snapshots beyond ``expire_keep_last`` and GC
     #: files referenced only by them.  0 = disabled (the default) — out of
@@ -177,6 +186,9 @@ class CdcEngine:
         #: is the in-container implementation — an Iceberg-backed adapter
         #: drops in here when a runtime jar is available
         self.table: TableFormat = self._ensure_table()
+        # async maintenance: one background worker, one pending task max
+        self._maint_pool = None
+        self._maint_future = None
 
     # ------------------------------------------------------------ setup
 
@@ -210,6 +222,111 @@ class CdcEngine:
         return RelationSchema.from_json(
             self.table.property("cdc.relation", DOCS_RELATION.to_json())
         )
+
+    # ------------------------------------------------- concurrent commits
+
+    def _commit_with_retry(self, commit_fn, expected_version: int, retries: int = 4):
+        """Run ``commit_fn(expected_version)``; on a CAS conflict, re-commit
+        against the new head iff every intervening snapshot is a ``compact``
+        operation.  Compaction is content-preserving (it folds the same
+        bytes into fewer files), so the apply's merge result — computed
+        against the pre-compaction state — is still exact against the
+        compacted base: a CoW commit replaces the whole touched bucket
+        either way, and a MoR delta's per-key fold supersedes the key
+        regardless of which base file holds it.  ANY other intervening
+        writer (a second CDC engine, a foreign append) re-raises: blind
+        re-commit would overwrite data this batch never saw."""
+        from pgoutput2json_spark.lake.table import CommitConflict
+
+        for _ in range(retries):
+            try:
+                return commit_fn(expected_version)
+            except CommitConflict:
+                cur = self.table.current_version()
+                for v in range(expected_version + 1, cur + 1):
+                    op = self.table.snapshot(v).get("summary", {}).get("operation")
+                    if op != "compact":
+                        raise
+                expected_version = cur
+        return commit_fn(expected_version)
+
+    def _evolve_with_retry(self, fields: list[dict], summary: dict) -> None:
+        """Schema evolution is idempotent, so a CAS loss to concurrent
+        maintenance just re-runs it against the new head."""
+        from pgoutput2json_spark.lake.table import CommitConflict
+
+        for _ in range(4):
+            try:
+                self.table.evolve(fields, summary=summary)
+                return
+            except CommitConflict:
+                continue
+        self.table.evolve(fields, summary=summary)
+
+    # ------------------------------------------------- maintenance (async)
+
+    #: file-age guard for async expiry: files staged by an in-flight commit
+    #: are seconds old; orphans older than this are safe to GC
+    _EXPIRE_GRACE_SEC = 300.0
+
+    def _run_maintenance(self, epoch_id: int, do_compact: bool, do_expire: bool) -> dict:
+        """The side job: compact (retrying CAS losses to the apply loop from
+        a fresh snapshot — compact_buckets re-reads state per attempt) then
+        expire with the staged-file grace window."""
+        from pgoutput2json_spark.lake.table import CommitConflict
+
+        out: dict = {"epoch": epoch_id}
+        if do_compact:
+            for _ in range(3):
+                try:
+                    snap = self.table.compact_buckets(
+                        self.opts.compact_max_files, summary={"epoch": epoch_id}
+                    )
+                    out["compacted"] = bool(snap)
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                out["compacted"] = "conflict-deferred"
+        if do_expire:
+            grace = self._EXPIRE_GRACE_SEC if self.opts.maintenance_async else 0.0
+            out["expired_files"] = self.table.expire_snapshots(
+                keep_last=self.opts.expire_keep_last, grace_sec=grace
+            )
+        return out
+
+    def _schedule_maintenance(self, epoch_id: int, do_compact: bool, do_expire: bool) -> str:
+        """Submit maintenance to the single background worker; if the
+        previous cycle is still running, skip this one (the next due epoch
+        picks it up — file counts stay bounded, just one threshold later)."""
+        if self._maint_future is not None and not self._maint_future.done():
+            return "busy-skipped"
+        self._surface_maintenance_error()
+        if self._maint_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._maint_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cdc-maint"
+            )
+        self._maint_future = self._maint_pool.submit(
+            self._run_maintenance, epoch_id, do_compact, do_expire
+        )
+        return "scheduled"
+
+    def _surface_maintenance_error(self) -> None:
+        f = self._maint_future
+        if f is not None and f.done():
+            self._maint_future = None
+            f.result()  # re-raise a failed cycle on the caller thread
+
+    def flush_maintenance(self, timeout: float | None = None) -> dict | None:
+        """Wait for any in-flight maintenance cycle (stream drain / bench
+        epilogue call this so measurements and final state include it)."""
+        f = self._maint_future
+        if f is None:
+            return None
+        self._maint_future = None
+        return f.result(timeout)
 
     # ------------------------------------------------------------ bootstrap
 
@@ -338,7 +455,7 @@ class CdcEngine:
             ]
             latest_rel = versions[-1][1]
             if len(versions) > 1:
-                table.evolve(
+                self._evolve_with_retry(
                     _relation_fields(latest_rel),
                     summary={"epoch": epoch_id, "reason": "relation-message"},
                 )
@@ -512,38 +629,51 @@ class CdcEngine:
                 "cdc.relation": latest_rel.to_json(),
             }
             if use_mor:
-                table.commit_append_deltas(
-                    new_files,
-                    summary=summary,
-                    properties=props,
-                    expected_version=expected_version,
+                self._commit_with_retry(
+                    lambda ev: table.commit_append_deltas(
+                        new_files,
+                        summary=summary,
+                        properties=props,
+                        expected_version=ev,
+                    ),
+                    expected_version,
                 )
             else:
-                table.commit_replace_buckets(
-                    new_files,
-                    replaced_buckets=replaced,
-                    summary=summary,
-                    properties=props,
-                    expected_version=expected_version,
-                    truncate_all=truncating,
+                self._commit_with_retry(
+                    lambda ev: table.commit_replace_buckets(
+                        new_files,
+                        replaced_buckets=replaced,
+                        summary=summary,
+                        properties=props,
+                        expected_version=ev,
+                        truncate_all=truncating,
+                    ),
+                    expected_version,
                 )
-            if (
+            # Maintenance (compaction + decoupled snapshot expiry, ADVICE
+            # r3).  Default: OVERLAPPED with the next micro-batch on the
+            # background worker — SOAK_r4 measured 3-4x epoch stalls when
+            # these ran inline in foreachBatch; the apply commit's
+            # compact-aware CAS retry above makes the overlap safe.
+            do_compact = bool(
                 opts.compact_every
                 and epoch_id >= 0
                 and (int(epoch_id) + 1) % int(opts.compact_every) == 0
-            ):
-                table.compact_buckets(opts.compact_max_files,
-                                      summary={"epoch": epoch_id})
-            # Snapshot expiry is decoupled from compaction (ADVICE r3):
-            # expiring caps the time-travel horizon at `expire_keep_last`
-            # versions, so it only runs when explicitly enabled.
-            if (
+            )
+            do_expire = bool(
                 opts.expire_every
                 and epoch_id >= 0
                 and (int(epoch_id) + 1) % int(opts.expire_every) == 0
-            ):
-                table.expire_snapshots(keep_last=opts.expire_keep_last)
-                summary["expire.keep-last"] = opts.expire_keep_last
+            )
+            if do_compact or do_expire:
+                if opts.maintenance_async:
+                    summary["maintenance"] = self._schedule_maintenance(
+                        epoch_id, do_compact, do_expire
+                    )
+                else:
+                    self._run_maintenance(epoch_id, do_compact, do_expire)
+                    if do_expire:
+                        summary["expire.keep-last"] = opts.expire_keep_last
             if opts.post_commit_hook is not None:
                 opts.post_commit_hook(summary)
             return summary
@@ -638,3 +768,6 @@ class CdcEngine:
             q.stop()
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
+        # drain the overlapped maintenance cycle so final state (file
+        # counts, expiry) is settled before the caller reads the table
+        self.flush_maintenance()

@@ -82,6 +82,17 @@ def test_expire_snapshots(spark, tmpdir_path):
     assert n_files_after == n_files_before - deleted
 
 
+def test_expire_grace_protects_recent_files(spark, tmpdir_path):
+    """grace_sec guards in-flight commits' staged files from async GC:
+    nothing younger than the grace is deleted, even if orphaned."""
+    t = mk(spark, tmpdir_path, n=10)
+    new_files = t.write_data_files(t.read(), t.current_version() + 1)
+    t.commit_replace_buckets(new_files, t.touched_buckets(),
+                             summary={"operation": "rewrite"})
+    assert t.expire_snapshots(keep_last=1, grace_sec=3600) == 0
+    assert t.expire_snapshots(keep_last=1) > 0
+
+
 def test_compact_buckets(spark, tmpdir_path):
     t = mk(spark, tmpdir_path, n=16, buckets=2)
     for _ in range(5):  # many small appends -> many files per bucket

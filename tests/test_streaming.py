@@ -110,6 +110,7 @@ def test_auto_compaction_and_expiry(spark, tmpdir_path):
     import glob
 
     eng = make_engine(spark, tmpdir_path, bucket_count=2)
+    eng.opts.maintenance_async = False  # inline path: deterministic GC
     eng.opts.compact_every = 3
     eng.opts.compact_max_files = 2
     eng.opts.expire_every = 3
@@ -128,6 +129,86 @@ def test_auto_compaction_and_expiry(spark, tmpdir_path):
     n_live = sum(len(fl) for fl in files.values())
     assert n_disk < 40  # GC happened (6 epochs x 2 buckets + compactions)
     assert eng.table.read().count() == 7
+
+
+def test_async_maintenance_overlap_is_exact(spark, tmpdir_path):
+    """Default async maintenance: compaction fires after EVERY epoch on the
+    background worker while the next epochs keep committing (the
+    compact-aware CAS retry absorbs any interleave).  Final state must
+    equal the serial last-writer expectation and file counts stay bounded
+    after the drain flush."""
+    eng = make_engine(spark, tmpdir_path, bucket_count=2, merge_mode="mor")
+    eng.opts.compact_every = 1
+    eng.opts.compact_max_files = 1
+    expected = {}
+    lsn = 1
+    for epoch in range(8):
+        batch = []
+        for i in range(5):
+            key = f"doc-{(lsn + i) % 7:06d}"
+            batch.append(ev("U", lsn + i, [key, [lsn + i], 1, "web"]))
+            expected[key] = [lsn + i]
+        lsn += 5
+        fp = write_jsonl(batch, eng.opts.events_dir, f"{epoch}.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(fp)
+        eng.apply_batch(df, epoch)
+    eng.flush_maintenance()
+    ops = [s["summary"].get("operation") for s in eng.table.snapshots()]
+    assert "compact" in ops
+    got = {r["doc_id"]: list(r["tokens"]) for r in eng.table.read().collect()}
+    assert got == expected
+    files = eng.table.snapshot()
+    n_live = sum(len(fl) for fl in files["files"].values()) + sum(
+        len(fl) for fl in files.get("deltas", {}).values()
+    )
+    assert n_live <= 8  # compaction kept the log bounded
+
+
+def test_commit_retry_allows_compact_interleave(spark, tmpdir_path):
+    """A compaction committing between the apply's version read and its
+    commit is absorbed: compaction is content-preserving, so the commit
+    retries against the new head instead of failing the batch."""
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor", compact_every=0)
+    fp = write_jsonl([ev("I", i, [f"doc-{i:06d}", [i], 1, "web"])
+                      for i in range(1, 6)], eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(fp)
+    eng.apply_batch(df, 0)
+    stale = eng.table.current_version()
+    eng.table.compact_buckets(max_files_per_bucket=0)
+    cur = eng.table.current_version()
+    assert cur == stale + 1
+    snap = eng._commit_with_retry(
+        lambda v: eng.table.commit_append_deltas(
+            {}, summary={"operation": "cdc-apply"}, expected_version=v
+        ),
+        stale,
+    )
+    assert snap["version"] == cur + 1
+
+
+def test_commit_retry_rejects_foreign_interleave(spark, tmpdir_path):
+    """A NON-compact intervening commit (another writer) must NOT be
+    absorbed — blind re-commit would overwrite unseen data."""
+    import pytest
+
+    from pgoutput2json_spark.lake.table import CommitConflict
+
+    eng = make_engine(spark, tmpdir_path, merge_mode="mor", compact_every=0)
+    fp = write_jsonl([ev("I", 1, ["doc-000001", [1], 1, "web"])],
+                     eng.opts.events_dir, "a.jsonl")
+    df = spark.read.schema(EVENT_SCHEMA).json(fp)
+    eng.apply_batch(df, 0)
+    stale = eng.table.current_version()
+    eng.table.commit_append_deltas(
+        {}, summary={"operation": "cdc-apply"}, expected_version=stale
+    )
+    with pytest.raises(CommitConflict):
+        eng._commit_with_retry(
+            lambda v: eng.table.commit_append_deltas(
+                {}, summary={"operation": "cdc-apply"}, expected_version=v
+            ),
+            stale,
+        )
 
 
 def test_time_based_trigger_flushes(spark, tmpdir_path):
