@@ -62,6 +62,7 @@ def snapshot_cut(
     n_events_hint: int | None = None,
     persist_registry: list | None = None,
     is_snapshot: Column | None = None,
+    keys: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Drop every event strictly older than its key's last snapshot event.
 
@@ -73,7 +74,10 @@ def snapshot_cut(
     exchanged just to be filtered.
 
     ``is_snapshot`` overrides the default all-columns-set test (the
-    lazy-envelope path supplies its version-arity ``full_row`` flag)."""
+    lazy-envelope path supplies its version-arity ``full_row`` flag).
+    ``keys`` widens the cut's grouping key — the multi-table unified plan
+    cuts every table of a publication in ONE aggregation keyed by
+    ``(t, doc_id)``."""
     if is_snapshot is None:
         all_set = F.lit(True)
         for n in field_names:
@@ -85,7 +89,7 @@ def snapshot_cut(
     # (key-update explode), so lsn*2+sub preserves the total order.
     ord_long = F.col("lsn") * 2 + F.col("sub")
     cuts = (
-        events.groupBy("doc_id")
+        events.groupBy(*keys)
         .agg(F.max(F.when(is_snapshot, ord_long)).alias("cut"))
         .filter(F.col("cut").isNotNull())
     )
@@ -102,7 +106,7 @@ def snapshot_cut(
         # else: genuinely huge keyset -> shuffle join (AQE skew path)
     else:
         cuts = F.broadcast(cuts)
-    return events.join(cuts, "doc_id", "left").filter(
+    return events.join(cuts, list(keys), "left").filter(
         F.col("cut").isNull() | (ord_long >= F.col("cut"))
     ).drop("cut")
 

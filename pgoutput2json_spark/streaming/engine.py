@@ -554,129 +554,23 @@ class CdcEngine:
             # written driver-side with no second scan
             lineage_rows = (
                 grouped.groupBy(table.bucket_expr("doc_id").alias("bucket"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_keys"),
-                    F.sum("n_events").alias("n_events"),
-                    F.min("min_lsn").alias("min_lsn"),
-                    F.max("max_lsn").alias("max_lsn"),
-                    F.sum("n_i").alias("n_insert"),
-                    F.sum("n_u").alias("n_update"),
-                    F.sum("n_d").alias("n_delete"),
-                )
+                .agg(*self.lineage_agg_cols())
                 .collect()
             )
             _mark("group_lineage")
-            buckets = sorted(int(r["bucket"]) for r in lineage_rows)
-            replaced = table.touched_buckets() if truncating else buckets
-            target = (
-                self.spark.createDataFrame([], table.spark_schema())
-                if truncating
-                else table.read(buckets)
+            return self.finalize_batch(
+                grouped,
+                lineage_rows,
+                epoch_id,
+                n_events=n_events,
+                batch_max_lsn=batch_max_lsn,
+                committed=committed,
+                latest_rel=latest_rel,
+                truncating=truncating,
+                truncate_lsn=truncate_lsn,
+                skew_salt=skew_salt,
+                timing=timing,
             )
-
-            # A truncate epoch rewrites the table anyway -> CoW path for it.
-            # 'auto': MoR while the batch's keyset is small vs the table's
-            # base rows (steady-state CDC); CoW when the batch rewrites a
-            # large fraction anyway (bootstrap/backfill epochs) — both
-            # inputs are already in hand (lineage_rows; snapshot metadata),
-            # so the decision costs no extra job.
-            if truncating:
-                use_mor = False
-            elif opts.merge_mode == "auto":
-                base_rows = table.approx_base_rows()
-                batch_keys = sum(int(r["n_keys"]) for r in lineage_rows)
-                use_mor = (
-                    base_rows is not None
-                    and batch_keys < _MOR_AUTO_FRACTION * base_rows
-                )
-            else:
-                use_mor = opts.merge_mode == "mor"
-            obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
-            expected_version = table.current_version()
-            if use_mor:
-                result = merge_deltas(table, grouped, target, obs)
-                new_files = table.write_delta_files(result, expected_version + 1)
-            else:
-                result = merge_groups(table, grouped, target, obs)
-                new_files = table.write_data_files(result, expected_version + 1)
-            _mark("merge_write")
-            merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
-
-            lineage_path = None
-            if opts.emit_lineage:
-                lineage_path = self._write_lineage(lineage_rows, epoch_id)
-            _mark("lineage")
-
-            summary = {
-                "operation": "cdc-apply",
-                "epoch": epoch_id,
-                "run-id": run_id,
-                "merge-mode": "mor" if use_mor else "cow",
-                "n-events": n_events,
-                "max-lsn": batch_max_lsn,
-                "truncate-lsn": truncate_lsn,
-                "touched-buckets": buckets,
-                "lineage": lineage_path,
-                **({"skew.salt": skew_salt} if skew_salt is not None else {}),
-                **{f"merge.{k}": v for k, v in merge_stats.items()},
-                **timing,
-            }
-            new_max = max(batch_max_lsn, committed)
-            props = {
-                "cdc.last-epoch": epoch_id,
-                "cdc.max-lsn": new_max,
-                "cdc.run-id": run_id,
-                "cdc.relation": latest_rel.to_json(),
-            }
-            if use_mor:
-                self._commit_with_retry(
-                    lambda ev: table.commit_append_deltas(
-                        new_files,
-                        summary=summary,
-                        properties=props,
-                        expected_version=ev,
-                    ),
-                    expected_version,
-                )
-            else:
-                self._commit_with_retry(
-                    lambda ev: table.commit_replace_buckets(
-                        new_files,
-                        replaced_buckets=replaced,
-                        summary=summary,
-                        properties=props,
-                        expected_version=ev,
-                        truncate_all=truncating,
-                    ),
-                    expected_version,
-                )
-            # Maintenance (compaction + decoupled snapshot expiry, ADVICE
-            # r3).  Default: OVERLAPPED with the next micro-batch on the
-            # background worker — SOAK_r4 measured 3-4x epoch stalls when
-            # these ran inline in foreachBatch; the apply commit's
-            # compact-aware CAS retry above makes the overlap safe.
-            do_compact = bool(
-                opts.compact_every
-                and epoch_id >= 0
-                and (int(epoch_id) + 1) % int(opts.compact_every) == 0
-            )
-            do_expire = bool(
-                opts.expire_every
-                and epoch_id >= 0
-                and (int(epoch_id) + 1) % int(opts.expire_every) == 0
-            )
-            if do_compact or do_expire:
-                if opts.maintenance_async:
-                    summary["maintenance"] = self._schedule_maintenance(
-                        epoch_id, do_compact, do_expire
-                    )
-                else:
-                    self._run_maintenance(epoch_id, do_compact, do_expire)
-                    if do_expire:
-                        summary["expire.keep-last"] = opts.expire_keep_last
-            if opts.post_commit_hook is not None:
-                opts.post_commit_hook(summary)
-            return summary
         finally:
             for df_c in batch_caches:
                 try:
@@ -685,6 +579,245 @@ class CdcEngine:
                     pass
             if cache_events:
                 events.unpersist()
+
+    @staticmethod
+    def lineage_agg_cols() -> list:
+        """The per-bucket lineage aggregation (M1) over a grouped batch —
+        shared by the single-table path and the multi-table unified plan
+        (which prepends ``t`` to the groupBy)."""
+        return [
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_events").alias("n_events"),
+            F.min("min_lsn").alias("min_lsn"),
+            F.max("max_lsn").alias("max_lsn"),
+            F.sum("n_i").alias("n_insert"),
+            F.sum("n_u").alias("n_update"),
+            F.sum("n_d").alias("n_delete"),
+        ]
+
+    def finalize_batch(
+        self,
+        grouped: DataFrame,
+        lineage_rows: list,
+        epoch_id: int,
+        *,
+        n_events: int,
+        batch_max_lsn: int,
+        committed: int,
+        latest_rel: RelationSchema,
+        truncating: bool = False,
+        truncate_lsn: int | None = None,
+        skew_salt: int | None = None,
+        timing: dict | None = None,
+    ) -> dict:
+        """Merge + write + atomic commit of an already-grouped batch (one
+        row per key, the group_events/salted_lww contract).  Split out of
+        :meth:`apply_batch` so the multi-table engine can run ONE unified
+        parse → cut → group plan for every table of a publication and feed
+        each table's slice into this per-table tail (or, via
+        :meth:`prepare_merge` + :meth:`commit_prepared`, batch every
+        table's merge into one shared write job)."""
+        timing = timing if timing is not None else {}
+        import time as _time
+
+        _t0 = _time.time()
+        prep = self.prepare_merge(grouped, lineage_rows, epoch_id,
+                                  truncating=truncating)
+        new_files = self.write_prepared(prep)
+        timing["timing.merge_write_ms"] = int((_time.time() - _t0) * 1000)
+        return self.commit_prepared(
+            prep,
+            new_files,
+            lineage_rows,
+            epoch_id,
+            n_events=n_events,
+            batch_max_lsn=batch_max_lsn,
+            committed=committed,
+            latest_rel=latest_rel,
+            truncating=truncating,
+            truncate_lsn=truncate_lsn,
+            skew_salt=skew_salt,
+            timing=timing,
+        )
+
+    def prepare_merge(
+        self,
+        grouped: DataFrame,
+        lineage_rows: list,
+        epoch_id: int,
+        *,
+        truncating: bool = False,
+    ) -> dict:
+        """Build the (lazy) merged-result plan for one grouped batch: merge
+        mode decision, bucket pruning, the merge/fold DataFrame and its
+        Observation.  No Spark action runs here — the caller triggers the
+        write (per table, or one shared job unioning several tables'
+        prepared results — streaming.multi)."""
+        table, opts = self.table, self.opts
+        buckets = sorted(int(r["bucket"]) for r in lineage_rows)
+        replaced = table.touched_buckets() if truncating else buckets
+        target = (
+            self.spark.createDataFrame([], table.spark_schema())
+            if truncating
+            else table.read(buckets)
+        )
+
+        # A truncate epoch rewrites the table anyway -> CoW path for it.
+        # 'auto': MoR while the batch's keyset is small vs the table's
+        # base rows (steady-state CDC); CoW when the batch rewrites a
+        # large fraction anyway (bootstrap/backfill epochs) — both
+        # inputs are already in hand (lineage_rows; snapshot metadata),
+        # so the decision costs no extra job.
+        if truncating:
+            use_mor = False
+        elif opts.merge_mode == "auto":
+            base_rows = table.approx_base_rows()
+            batch_keys = sum(int(r["n_keys"]) for r in lineage_rows)
+            use_mor = (
+                base_rows is not None
+                and batch_keys < _MOR_AUTO_FRACTION * base_rows
+            )
+        else:
+            use_mor = opts.merge_mode == "mor"
+        obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
+        expected_version = table.current_version()
+        if use_mor:
+            result = merge_deltas(table, grouped, target, obs)
+        else:
+            result = merge_groups(table, grouped, target, obs)
+        return {
+            "result": result,
+            "obs": obs,
+            "use_mor": use_mor,
+            "buckets": buckets,
+            "replaced": replaced,
+            "expected_version": expected_version,
+        }
+
+    def write_prepared(self, prep: dict) -> dict[str, list[str]]:
+        """Write one prepared merge result as this table's own job."""
+        if prep["use_mor"]:
+            return self.table.write_delta_files(
+                prep["result"], prep["expected_version"] + 1
+            )
+        return self.table.write_data_files(
+            prep["result"], prep["expected_version"] + 1
+        )
+
+    def commit_prepared(
+        self,
+        prep: dict,
+        new_files: dict[str, list[str]],
+        lineage_rows: list,
+        epoch_id: int,
+        *,
+        n_events: int,
+        batch_max_lsn: int,
+        committed: int,
+        latest_rel: RelationSchema,
+        truncating: bool = False,
+        truncate_lsn: int | None = None,
+        skew_salt: int | None = None,
+        timing: dict | None = None,
+    ) -> dict:
+        """Atomic commit of an already-written merge (driver-side only):
+        merge stats, lineage file, snapshot commit with CAS retry, and
+        maintenance scheduling."""
+        table, opts = self.table, self.opts
+        run_id = self._run_id()
+        timing = timing if timing is not None else {}
+        import time as _time
+
+        _t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            timing[f"timing.{phase}_ms"] = int((now - _t0) * 1000)
+            _t0 = now
+
+        use_mor = prep["use_mor"]
+        buckets = prep["buckets"]
+        replaced = prep["replaced"]
+        expected_version = prep["expected_version"]
+        obs = prep["obs"]
+        merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
+
+        lineage_path = None
+        if opts.emit_lineage:
+            lineage_path = self._write_lineage(lineage_rows, epoch_id)
+        _mark("lineage")
+
+        summary = {
+            "operation": "cdc-apply",
+            "epoch": epoch_id,
+            "run-id": run_id,
+            "merge-mode": "mor" if use_mor else "cow",
+            "n-events": n_events,
+            "max-lsn": batch_max_lsn,
+            "truncate-lsn": truncate_lsn,
+            "touched-buckets": buckets,
+            "lineage": lineage_path,
+            **({"skew.salt": skew_salt} if skew_salt is not None else {}),
+            **{f"merge.{k}": v for k, v in merge_stats.items()},
+            **timing,
+        }
+        new_max = max(batch_max_lsn, committed)
+        props = {
+            "cdc.last-epoch": epoch_id,
+            "cdc.max-lsn": new_max,
+            "cdc.run-id": run_id,
+            "cdc.relation": latest_rel.to_json(),
+        }
+        if use_mor:
+            self._commit_with_retry(
+                lambda ev: table.commit_append_deltas(
+                    new_files,
+                    summary=summary,
+                    properties=props,
+                    expected_version=ev,
+                ),
+                expected_version,
+            )
+        else:
+            self._commit_with_retry(
+                lambda ev: table.commit_replace_buckets(
+                    new_files,
+                    replaced_buckets=replaced,
+                    summary=summary,
+                    properties=props,
+                    expected_version=ev,
+                    truncate_all=truncating,
+                ),
+                expected_version,
+            )
+        # Maintenance (compaction + decoupled snapshot expiry, ADVICE
+        # r3).  Default: OVERLAPPED with the next micro-batch on the
+        # background worker — SOAK_r4 measured 3-4x epoch stalls when
+        # these ran inline in foreachBatch; the apply commit's
+        # compact-aware CAS retry above makes the overlap safe.
+        do_compact = bool(
+            opts.compact_every
+            and epoch_id >= 0
+            and (int(epoch_id) + 1) % int(opts.compact_every) == 0
+        )
+        do_expire = bool(
+            opts.expire_every
+            and epoch_id >= 0
+            and (int(epoch_id) + 1) % int(opts.expire_every) == 0
+        )
+        if do_compact or do_expire:
+            if opts.maintenance_async:
+                summary["maintenance"] = self._schedule_maintenance(
+                    epoch_id, do_compact, do_expire
+                )
+            else:
+                self._run_maintenance(epoch_id, do_compact, do_expire)
+                if do_expire:
+                    summary["expire.keep-last"] = opts.expire_keep_last
+        if opts.post_commit_hook is not None:
+            opts.post_commit_hook(summary)
+        return summary
 
     #: lineage file schema (M1) — stable across rounds
     _LINEAGE_SCHEMA = (

@@ -104,22 +104,27 @@ def test_multi_table_streaming_resume(spark, tmpdir_path):
 
 
 def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
-    """Per-table applies overlap in time (driver thread pool submits
-    independent Spark jobs concurrently) — not a serial per-table loop."""
-    import time
-
+    """Four same-schema tables are written by ONE shared cohort job (the
+    unified plan batches the tiny per-table merges; per-table Spark jobs
+    were the r4 multi-table throughput gap) — not a serial per-table
+    loop, and not even per-table write jobs."""
     from pgoutput2json_spark.streaming.engine import CdcEngine
 
-    spans = {}
-    orig = CdcEngine.apply_batch
+    cohort_calls = []
+    orig = MultiTableCdcEngine._staged_cohort_write
 
-    def traced(self, events, epoch_id, **kw):
-        t0 = time.time()
-        out = orig(self, events, epoch_id, **kw)
-        spans[self.opts.table_filter] = (t0, time.time())
-        return out
+    def traced(self, cohort, use_mor, types, preps, engines):
+        cohort_calls.append(list(cohort))
+        return orig(self, cohort, use_mor, types, preps, engines)
 
-    monkeypatch.setattr(CdcEngine, "apply_batch", traced)
+    monkeypatch.setattr(MultiTableCdcEngine, "_staged_cohort_write", traced)
+
+    solo_writes = []
+    monkeypatch.setattr(
+        CdcEngine,
+        "write_prepared",
+        lambda self, prep: solo_writes.append(self.opts.table_filter),
+    )
 
     eng = mk(spark, tmpdir_path)
     events = []
@@ -136,11 +141,13 @@ def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
     res = eng.apply_batch(df, 0)
     assert len(res) == 4 and all(r.get("merge.rows_inserted") == 31 for r in res.values())
 
-    # at least one pair of per-table applies overlapped in wall-clock
-    ivs = sorted(spans.values())
-    assert len(ivs) == 4
-    overlaps = sum(1 for a, b in zip(ivs, ivs[1:]) if b[0] < a[1])
-    assert overlaps >= 1, f"applies ran serially: {ivs}"
+    # all four tables shared ONE staged write; no per-table write jobs ran
+    assert cohort_calls == [[f"public.t{t}" for t in range(4)]]
+    assert solo_writes == []
+    # and every table's files landed under its own root
+    for t in range(4):
+        tbl = eng.engine_for(f"public.t{t}").table
+        assert tbl.read().count() == 31
 
 
 def test_generator_table_override_and_base_relation(spark):
