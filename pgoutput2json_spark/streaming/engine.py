@@ -640,6 +640,24 @@ class CdcEngine:
             timing=timing,
         )
 
+    def decide_mor(self, lineage_rows: list, truncating: bool = False) -> bool:
+        """Merge-mode decision for one batch.  A truncate epoch rewrites
+        the table anyway -> CoW.  'auto': MoR while the batch's keyset is
+        small vs the table's base rows (steady-state CDC); CoW when the
+        batch rewrites a large fraction anyway (bootstrap/backfill
+        epochs) — both inputs are already in hand (lineage_rows; snapshot
+        metadata), so the decision costs no extra job."""
+        if truncating:
+            return False
+        if self.opts.merge_mode == "auto":
+            base_rows = self.table.approx_base_rows()
+            batch_keys = sum(int(r["n_keys"]) for r in lineage_rows)
+            return (
+                base_rows is not None
+                and batch_keys < _MOR_AUTO_FRACTION * base_rows
+            )
+        return self.opts.merge_mode == "mor"
+
     def prepare_merge(
         self,
         grouped: DataFrame,
@@ -662,23 +680,7 @@ class CdcEngine:
             else table.read(buckets)
         )
 
-        # A truncate epoch rewrites the table anyway -> CoW path for it.
-        # 'auto': MoR while the batch's keyset is small vs the table's
-        # base rows (steady-state CDC); CoW when the batch rewrites a
-        # large fraction anyway (bootstrap/backfill epochs) — both
-        # inputs are already in hand (lineage_rows; snapshot metadata),
-        # so the decision costs no extra job.
-        if truncating:
-            use_mor = False
-        elif opts.merge_mode == "auto":
-            base_rows = table.approx_base_rows()
-            batch_keys = sum(int(r["n_keys"]) for r in lineage_rows)
-            use_mor = (
-                base_rows is not None
-                and batch_keys < _MOR_AUTO_FRACTION * base_rows
-            )
-        else:
-            use_mor = opts.merge_mode == "mor"
+        use_mor = self.decide_mor(lineage_rows, truncating)
         obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
         expected_version = table.current_version()
         if use_mor:

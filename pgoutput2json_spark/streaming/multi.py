@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pgoutput2json_spark.lake.table import LakeTable, _parse_type
 from pgoutput2json_spark.operators.explode import explode_key_updates
-from pgoutput2json_spark.operators.fold import snapshot_cut
+from pgoutput2json_spark.operators.fold import fold_final_state, snapshot_cut
 from pgoutput2json_spark.operators.parse import (
     _field_struct,
     _per_version,
@@ -88,7 +88,8 @@ def _unified_parse(events: DataFrame, metas: dict, lazy: bool) -> DataFrame:
     ``full_row`` flag, dispatched per table (and per relation version within
     each table).  The payload ``r`` rides through UNDECODED — raw JSON array
     text on the lazy jsonl path, ``array<string>`` slots otherwise — and is
-    decoded per table on cut survivors only (:func:`_decode_grouped`)."""
+    decoded once for all tables on cut survivors only
+    (:func:`_decode_grouped_union`)."""
 
     def key_from(col_name: str):
         def per_meta(m):
@@ -164,14 +165,52 @@ def _group_events_raw_multi(flat: DataFrame) -> DataFrame:
     )
 
 
-def _decode_grouped(
-    g: DataFrame, versions: list, fields: list[dict], lazy: bool
-) -> DataFrame:
-    """Typed decode of one table's grouped slice: evs (raw payload) ->
-    evs (typed v structs), the group_events/fold contract.  Two nested
-    ``transform`` passes so the lazy path parses each survivor's row text
-    ONCE (the inner transform materializes the parsed array; lambda bodies
-    are not inlined across transforms), not once per column."""
+def _union_slots(metas: dict) -> tuple[list, dict]:
+    """Merge every table's (name, type) fields into one slot list for the
+    shared typed decode.  Slots are keyed by (name, type): tables agreeing
+    on a column's type share its slot; a name claimed at a different type
+    by another table gets a disambiguated ``name__cN`` slot (rare — the
+    per-table remap maps it back).  Returns ``(slots, remap)`` where
+    ``slots`` is ``[(slot_name, field_name, type, owners)]`` with
+    ``owners`` = {table: versions}, and ``remap[table]`` is the
+    field->slot mapping for tables needing one."""
+    slots: list = []          # (slot_name, field_name, type_str, owners)
+    by_name: dict[str, list[int]] = {}
+    table_slots: dict[str, dict[str, str]] = {}
+    for table in sorted(metas):
+        m = metas[table]
+        mapping: dict[str, str] = {}
+        for f in m["fields"]:
+            name, ty = f["name"], f["type"]
+            idx = next(
+                (i for i in by_name.get(name, []) if slots[i][2] == ty), None
+            )
+            if idx is None:
+                n_prior = len(by_name.get(name, []))
+                slot = name if n_prior == 0 else f"{name}__c{n_prior}"
+                idx = len(slots)
+                slots.append((slot, name, ty, {}))
+                by_name.setdefault(name, []).append(idx)
+            slots[idx][3][table] = m["versions"]
+            mapping[name] = slots[idx][0]
+        table_slots[table] = mapping
+    remap = {
+        t: mapping
+        for t, mapping in table_slots.items()
+        if any(slot != name for name, slot in mapping.items())
+    }
+    return slots, remap
+
+
+def _decode_grouped_union(g: DataFrame, metas: dict, lazy: bool) -> DataFrame:
+    """Typed decode of the whole publication's grouped frame in ONE pass:
+    evs (raw payload) -> evs (typed v structs over the union of every
+    table's columns), dispatched per table and per relation version.
+    Only the owning tables' branches are non-null, so foreign slots cost
+    null bits, not data.  Two nested ``transform`` passes so the lazy
+    path parses each survivor's row text ONCE (lambda bodies are not
+    inlined across transforms), not once per column."""
+    slots, _ = _union_slots(metas)
     parse = (lambda e: F.from_json(e["r"], "array<string>")) if lazy else (
         lambda e: e["r"]
     )
@@ -185,16 +224,26 @@ def _decode_grouped(
         ),
     )
 
+    def slot_col(e, name: str, ty: str, owners: dict) -> Column:
+        dt = _parse_type(ty)
+        expr = None
+        for table, versions in owners.items():
+            col = _per_version(
+                versions,
+                lambda rel, name=name, dt=dt: _field_struct(
+                    e["arr"], rel, name, dt
+                ),
+                w=e["lsn"],
+            )
+            cond = F.col("t") == F.lit(table)
+            expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+        return expr  # non-owner tables fall through to typed NULL
+
     def typed_ev(e):
         v = F.struct(
             *[
-                _per_version(
-                    versions,
-                    lambda rel, name=f["name"], dt=_parse_type(f["type"]):
-                        _field_struct(e["arr"], rel, name, dt),
-                    w=e["lsn"],
-                ).alias(f["name"])
-                for f in fields
+                slot_col(e, name, ty, owners).alias(slot)
+                for slot, name, ty, owners in slots
             ]
         )
         return F.struct(
@@ -205,6 +254,69 @@ def _decode_grouped(
         )
 
     return g.withColumn("evs", F.transform(with_arr, typed_ev))
+
+
+def _move_staged(
+    staging: str,
+    tables: list[str],
+    engines: dict,
+    vers: dict[str, int],
+    prefix: str,
+) -> dict[str, dict]:
+    """Driver-side renames: move each table's ``__tbl=i/__bucket=b``
+    dynamic partitions out of the shared staging dir into that table's own
+    commit dir; returns the per-table bucket -> relative-file mapping.  On
+    an object store this is the same O(files) metadata pass every table
+    format's commit protocol performs (cited: Iceberg's manifest rewrite)."""
+    import uuid as _uuid
+
+    out: dict[str, dict] = {}
+    for i, t in enumerate(tables):
+        eng = engines[t]
+        commit_dir = f"data/{prefix}{vers[t]}-{_uuid.uuid4().hex[:8]}"
+        files: dict[str, list[str]] = {}
+        src_tbl = os.path.join(staging, f"__tbl={i}")
+        if os.path.isdir(src_tbl):
+            for ent in sorted(os.listdir(src_tbl)):
+                if not ent.startswith("__bucket="):
+                    continue
+                b = ent.split("=", 1)[1]
+                dst_b = os.path.join(eng.table.root, commit_dir, ent)
+                os.makedirs(dst_b, exist_ok=True)
+                for fn in sorted(os.listdir(os.path.join(src_tbl, ent))):
+                    if fn.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(src_tbl, ent, fn),
+                            os.path.join(dst_b, fn),
+                        )
+                        files.setdefault(b, []).append(
+                            f"{commit_dir}/{ent}/{fn}"
+                        )
+        out[t] = files
+    return out
+
+
+def _remap_slots(g: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename disambiguated union slots back to this table's column names
+    (plain struct-field access — no re-parse); only tables whose columns
+    collided in type with an earlier table's need this."""
+    return g.withColumn(
+        "evs",
+        F.transform(
+            F.col("evs"),
+            lambda e: F.struct(
+                e["lsn"].alias("lsn"),
+                e["sub"].alias("sub"),
+                e["op"].alias("op"),
+                F.struct(
+                    *[
+                        e["v"][slot].alias(name)
+                        for name, slot in mapping.items()
+                    ]
+                ).alias("v"),
+            ),
+        ),
+    )
 
 
 class MultiTableCdcEngine:
@@ -272,6 +384,10 @@ class MultiTableCdcEngine:
         cache = dict(events.dtypes).get("r") == "string"
         if cache:
             events = events.persist()
+        import time as _time
+
+        self.last_timing: dict[str, int] = {}
+        _t0 = _time.time()
         try:
             # ONE grouped pass yields every table's head statistics (count,
             # max LSN, truncate LSNs, relation messages, first schema) —
@@ -292,6 +408,7 @@ class MultiTableCdcEngine:
                 )
                 .collect()
             )
+            self.last_timing["head_ms"] = int((_time.time() - _t0) * 1000)
             if self.opts.apply_mode == "exact":
                 return self._apply_unified(events, epoch_id, heads)
             return self._apply_fanout(events, epoch_id, heads)
@@ -346,6 +463,19 @@ class MultiTableCdcEngine:
         (t, doc_id) for the whole publication, per-table merge tails from
         the cached grouped frame."""
         from concurrent.futures import ThreadPoolExecutor
+        import time as _time
+
+        timing = getattr(self, "last_timing", {})
+        _t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            # coarse driver-view wall clock per phase, mirroring the single
+            # engine's timing.* commit-summary keys — the profiling hook the
+            # multi-vs-single bench gap analysis reads
+            nonlocal _t0
+            now = _time.time()
+            timing[f"{phase}_ms"] = int((now - _t0) * 1000)
+            _t0 = now
 
         results: dict = {}
         engines: dict[str, CdcEngine] = {}
@@ -445,7 +575,19 @@ class MultiTableCdcEngine:
             | ((F.col("op") == "U") & F.col("full_row")),
             keys=("t", "doc_id"),
         )
-        grouped_all = _group_events_raw_multi(cut).persist()
+        # The survivor decode runs HERE, once for the whole publication
+        # (union-of-columns typed structs dispatched per table/version),
+        # so the cached grouped frame holds typed events and the unified
+        # merge below is plain field accesses — no from_json / CASE
+        # forest repeated per table.  The columnar cache gives the
+        # lineage agg pruned reads; the one remaining downstream plan
+        # keeps driver-side re-analysis of the parse CASE forest to a
+        # single pass (the old per-table fan-out re-analyzed it N times,
+        # ~1.3 s/table of driver time at 1M events).
+        slots_all, slots_remap = _union_slots(metas)
+        grouped_all = _decode_grouped_union(
+            _group_events_raw_multi(cut), metas, lazy
+        ).persist()
         caches.append(grouped_all)
         try:
             # ONE lineage/touched-bucket pass for the whole publication
@@ -462,30 +604,70 @@ class MultiTableCdcEngine:
             lin_by_table: dict[str, list] = {}
             for r in lin_rows:
                 lin_by_table.setdefault(r["t"], []).append(r)
+            _mark("group_lineage")
 
-            # Prepare every table's merge plan (lazy), run the writes as
-            # (at most a few) shared cohort jobs, then commit per table —
-            # "split only at the commit".
+            # The merge tail: every table whose merge can ride the union
+            # slot schema joins ONE unified merge+write job per merge mode
+            # (almost always one job total).  Tables needing their own
+            # branch — type-conflicted column names (slot remap) or a
+            # truncate epoch (CoW rewrite of the whole table) — fall back
+            # to per-table prepared merges batched by _write_cohorts.
             import time as _time
 
-            preps: dict[str, dict] = {}
-            for table in sorted(engines):
+            workers = max(1, int(self.opts.max_parallel_tables))
+            fallback = sorted(
+                t
+                for t in engines
+                if t in slots_remap or metas[t]["tmax"] is not None
+            )
+            mor_groups: dict[bool, list[str]] = {}
+            for t in sorted(engines):
+                if t not in fallback:
+                    mor_groups.setdefault(
+                        engines[t].decide_mor(lin_by_table.get(t, [])), []
+                    ).append(t)
+
+            def prepare_one(table: str) -> tuple[str, dict]:
                 eng, m = engines[table], metas[table]
-                g = _decode_grouped(
-                    grouped_all.filter(F.col("t") == table).drop("t"),
-                    m["versions"],
-                    m["fields"],
-                    lazy,
-                )
-                preps[table] = eng.prepare_merge(
+                g = grouped_all.filter(F.col("t") == table).drop("t")
+                if table in slots_remap:
+                    g = _remap_slots(g, slots_remap[table])
+                return table, eng.prepare_merge(
                     g,
                     lin_by_table.get(table, []),
                     epoch_id,
                     truncating=m["tmax"] is not None,
                 )
+
+            preps: dict[str, dict] = {}
+            if len(fallback) <= 1 or workers == 1:
+                preps.update(dict(map(prepare_one, fallback)))
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    preps.update(dict(pool.map(prepare_one, fallback)))
+            _mark("prepare")
             _tw = _time.time()
-            files_by_table = self._write_cohorts(preps, engines)
+            files_by_table: dict[str, dict] = {}
+            for mode in sorted(mor_groups):
+                f, p = self._unified_merge_write(
+                    mor_groups[mode],
+                    engines,
+                    grouped_all,
+                    lin_by_table,
+                    slots_all,
+                    mode,
+                    epoch_id,
+                )
+                files_by_table.update(f)
+                preps.update(p)
+            if fallback:
+                files_by_table.update(
+                    self._write_cohorts(
+                        {t: preps[t] for t in fallback}, engines
+                    )
+                )
             write_ms = int((_time.time() - _tw) * 1000)
+            _mark("write")
 
             def commit_one(table: str):
                 eng, m = engines[table], metas[table]
@@ -503,13 +685,13 @@ class MultiTableCdcEngine:
                     timing={"timing.merge_write_ms": write_ms},
                 )
 
-            workers = max(1, int(self.opts.max_parallel_tables))
             todo = sorted(engines)
             if len(todo) <= 1 or workers == 1:
                 results.update(dict(map(commit_one, todo)))
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     results.update(dict(pool.map(commit_one, todo)))
+            _mark("commit")
             return results
         finally:
             for c in caches:
@@ -612,34 +794,228 @@ class MultiTableCdcEngine:
                 .write.partitionBy("__tbl", "__bucket")
                 .parquet(staging)
             )
-            prefix = "d" if use_mor else "c"
-            out: dict[str, dict] = {}
-            for i, t in enumerate(cohort):
-                eng, prep = engines[t], preps[t]
-                ver = prep["expected_version"] + 1
-                commit_dir = f"data/{prefix}{ver}-{_uuid.uuid4().hex[:8]}"
-                files: dict[str, list[str]] = {}
-                src_tbl = os.path.join(staging, f"__tbl={i}")
-                if os.path.isdir(src_tbl):
-                    for ent in sorted(os.listdir(src_tbl)):
-                        if not ent.startswith("__bucket="):
-                            continue
-                        b = ent.split("=", 1)[1]
-                        dst_b = os.path.join(eng.table.root, commit_dir, ent)
-                        os.makedirs(dst_b, exist_ok=True)
-                        for fn in sorted(os.listdir(os.path.join(src_tbl, ent))):
-                            if fn.endswith(".parquet"):
-                                os.rename(
-                                    os.path.join(src_tbl, ent, fn),
-                                    os.path.join(dst_b, fn),
-                                )
-                                files.setdefault(b, []).append(
-                                    f"{commit_dir}/{ent}/{fn}"
-                                )
-                out[t] = files
-            return out
+            return _move_staged(
+                staging,
+                cohort,
+                engines,
+                {t: preps[t]["expected_version"] + 1 for t in cohort},
+                "d" if use_mor else "c",
+            )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+    def _unified_merge_write(
+        self,
+        tables: list[str],
+        engines: dict[str, CdcEngine],
+        grouped_all: DataFrame,
+        lin_by_table: dict[str, list],
+        slots: list,
+        use_mor: bool,
+        epoch_id: int,
+    ) -> tuple[dict[str, dict], dict[str, dict]]:
+        """ONE merge job for every same-mode table of the publication: the
+        per-table pruned targets union (tagged, aligned to the slot
+        schema), join the grouped batch on (t, key), fold once over the
+        union slots, shuffle by (table, bucket), write into shared
+        staging.  Per-table work shrinks to metadata: pruned target scans,
+        file moves, commits.  Returns (files_by_table, prep_by_table) —
+        preps carry the obs-stats slice + versions for commit_prepared."""
+        import shutil
+        import uuid as _uuid
+        from functools import reduce
+
+        from pyspark.sql import Observation
+
+        from pgoutput2json_spark.schema import KEY_SEP
+
+        used = [s for s in slots if any(t in s[3] for t in tables)]
+        fields = [(slot, ty) for slot, _name, ty, _o in used]
+        key_of = {t: engines[t].table.key_columns for t in tables}
+        vers = {
+            t: engines[t].table.current_version() for t in tables
+        }
+
+        branches = []
+        for t in tables:
+            eng = engines[t]
+            if lin_by_table.get(t):
+                buckets = sorted(int(r["bucket"]) for r in lin_by_table[t])
+                tgt = eng.table.read(buckets)
+            else:
+                tgt = self.spark.createDataFrame([], eng.table.spark_schema())
+            cols = [
+                F.col(name).cast(_parse_type(ty)).alias(slot)
+                if t in owners
+                else F.lit(None).cast(_parse_type(ty)).alias(slot)
+                for slot, name, ty, owners in used
+            ]
+            branches.append(
+                tgt.select(
+                    F.lit(t).alias("__tt"),
+                    eng.table.key_expr().alias("__tkey"),
+                    *cols,
+                )
+            )
+        target = reduce(lambda a, b: a.unionByName(b), branches)
+
+        u = grouped_all.filter(F.col("t").isin(list(tables))).alias("u")
+        tg = target.alias("tg")
+        joined = u.join(
+            tg,
+            (F.col("u.t") == F.col("tg.__tt"))
+            & (F.col("u.doc_id") == F.col("tg.__tkey")),
+            "left" if use_mor else "full_outer",
+        )
+        t_exists = F.col("tg.__tkey").isNotNull()
+        init = F.struct(
+            t_exists.alias("exists"),
+            *[F.col(f"tg.{slot}").alias(slot) for slot, _ty in fields],
+        )
+        folded = fold_final_state(F.col("u.evs"), init, fields)
+        final = (
+            folded
+            if use_mor
+            else F.when(F.col("u.doc_id").isNull(), init).otherwise(folded)
+        )
+        staged = joined.select(
+            F.coalesce(F.col("u.t"), F.col("tg.__tt")).alias("__t"),
+            F.coalesce(F.col("u.doc_id"), F.col("tg.__tkey")).alias("__key"),
+            t_exists.alias("__had"),
+            final.alias("__st"),
+        )
+        obs = Observation(f"umerge-{epoch_id}-{_uuid.uuid4().hex[:6]}")
+        metrics = []
+        for i, t in enumerate(tables):
+            here = F.col("__t") == F.lit(t)
+            ex = F.col("__st.exists")
+            metrics += [
+                F.sum(here.cast("long")).alias(f"t{i}_rows_seen"),
+                F.sum((here & ~F.col("__had") & ex).cast("long")).alias(
+                    f"t{i}_rows_inserted"
+                ),
+                F.sum((here & F.col("__had") & ex).cast("long")).alias(
+                    f"t{i}_rows_kept_or_updated"
+                ),
+                F.sum((here & F.col("__had") & ~ex).cast("long")).alias(
+                    f"t{i}_rows_deleted"
+                ),
+            ]
+        staged = staged.observe(obs, *metrics)
+
+        # output columns: folded slot state; for MoR rows the key columns
+        # must come from the merge key itself (tombstones fold to all-NULL
+        # state), dispatched per owning table like merge_deltas does
+        def out_col(slot: str, ty: str, owners: dict) -> Column:
+            base = F.col(f"__st.{slot}")
+            if not use_mor:
+                return base.alias(slot)
+            expr = None
+            for t in tables:
+                kcols = key_of[t]
+                own_name = next(
+                    (
+                        name
+                        for s2, name, ty2, o2 in used
+                        if s2 == slot and t in o2
+                    ),
+                    None,
+                )
+                if own_name is None or own_name not in kcols:
+                    continue
+                ki = kcols.index(own_name)
+                part = (
+                    F.col("__key")
+                    if len(kcols) == 1
+                    else F.element_at(
+                        F.split("__key", KEY_SEP, -1), ki + 1
+                    )
+                )
+                cond = F.col("__t") == F.lit(t)
+                kp = part.cast(_parse_type(ty))
+                expr = F.when(cond, kp) if expr is None else expr.when(cond, kp)
+            return (base if expr is None else expr.otherwise(base)).alias(slot)
+
+        out_cols = [
+            out_col(slot, ty, owners) for slot, _n, ty, owners in used
+        ]
+        kept = (
+            staged.filter(F.col("__st.exists") | F.col("__had"))
+            if use_mor
+            else staged.filter(F.col("__st.exists"))
+        )
+        tbl_idx = F.create_map(
+            *[
+                x
+                for i, t in enumerate(tables)
+                for x in (F.lit(t), F.lit(i))
+            ]
+        )[F.col("__t")]
+        bucket = F.pmod(
+            F.xxhash64(F.col("__key").cast("string")),
+            F.lit(self.opts.bucket_count),
+        ).cast("int")
+        extra = []
+        if use_mor:
+            extra.append((~F.col("__st.exists")).alias("__deleted"))
+            dv = None
+            for t in tables:
+                c = F.col("__t") == F.lit(t)
+                v = F.lit(vers[t] + 1).cast("long")
+                dv = F.when(c, v) if dv is None else dv.when(c, v)
+            extra.append(dv.alias("__dv"))
+        out = kept.select(
+            *out_cols,
+            *extra,
+            tbl_idx.alias("__tbl"),
+            bucket.alias("__bucket"),
+        )
+
+        staging = os.path.join(
+            self.opts.warehouse_root, ".staging", _uuid.uuid4().hex
+        )
+        try:
+            (
+                out.repartition(F.col("__tbl"), F.col("__bucket"))
+                .write.partitionBy("__tbl", "__bucket")
+                .parquet(staging)
+            )
+            files = _move_staged(
+                staging,
+                tables,
+                engines,
+                {t: vers[t] + 1 for t in tables},
+                "d" if use_mor else "c",
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        stats = {k: int(v or 0) for k, v in obs.get.items()}
+
+        class _Obs:
+            def __init__(self, d):
+                self.get = d
+
+        preps = {}
+        for i, t in enumerate(tables):
+            preps[t] = {
+                "obs": _Obs(
+                    {
+                        k[len(f"t{i}_"):]: v
+                        for k, v in stats.items()
+                        if k.startswith(f"t{i}_")
+                    }
+                ),
+                "use_mor": use_mor,
+                "buckets": sorted(
+                    int(r["bucket"]) for r in lin_by_table.get(t, [])
+                ),
+                "replaced": sorted(
+                    int(r["bucket"]) for r in lin_by_table.get(t, [])
+                ),
+                "expected_version": vers[t],
+            }
+        return files, preps
 
     # ------------------------------------------------------------ run
 

@@ -111,13 +111,13 @@ def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
     from pgoutput2json_spark.streaming.engine import CdcEngine
 
     cohort_calls = []
-    orig = MultiTableCdcEngine._staged_cohort_write
+    orig = MultiTableCdcEngine._unified_merge_write
 
-    def traced(self, cohort, use_mor, types, preps, engines):
-        cohort_calls.append(list(cohort))
-        return orig(self, cohort, use_mor, types, preps, engines)
+    def traced(self, tables, *a, **kw):
+        cohort_calls.append(list(tables))
+        return orig(self, tables, *a, **kw)
 
-    monkeypatch.setattr(MultiTableCdcEngine, "_staged_cohort_write", traced)
+    monkeypatch.setattr(MultiTableCdcEngine, "_unified_merge_write", traced)
 
     solo_writes = []
     monkeypatch.setattr(
@@ -141,7 +141,7 @@ def test_four_tables_apply_in_parallel(spark, tmpdir_path, monkeypatch):
     res = eng.apply_batch(df, 0)
     assert len(res) == 4 and all(r.get("merge.rows_inserted") == 31 for r in res.values())
 
-    # all four tables shared ONE staged write; no per-table write jobs ran
+    # all four tables shared ONE unified merge+write; no per-table jobs ran
     assert cohort_calls == [[f"public.t{t}" for t in range(4)]]
     assert solo_writes == []
     # and every table's files landed under its own root
