@@ -503,7 +503,39 @@ def main() -> None:
         "cdc": cdc,
     }
     print(json.dumps(out))
+    _persist_results(out)
     spark.stop()
+
+
+def _persist_results(out: dict) -> None:
+    """Write the complete bench output to a tracked artifact.
+
+    The driver keeps only the stdout tail, which in round 4 truncated the
+    per-query map (BENCH_r04.json carried 2KB of tail with ``parsed: null``).
+    The full JSON therefore also lands in ``BENCH/RESULTS_r<N>.json`` next to
+    the scaling/soak/skew artifacts.  The round number is derived from the
+    highest ``CORRECTNESS_r*.json`` the driver has written so far (+1 =
+    the round currently being built), overridable via ``BENCH_ROUND``."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("BENCH_ROUND")
+    if not rnd:
+        ns = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", f))
+        ]
+        rnd = f"{(max(ns) + 1) if ns else 0:02d}"
+    path = os.path.join(here, "BENCH", f"RESULTS_r{rnd}.json")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"full results -> {path}", file=sys.stderr)
+    except OSError as e:  # never fail the bench over artifact persistence
+        print(f"could not persist results: {e}", file=sys.stderr)
 
 
 def scaling() -> None:
