@@ -221,7 +221,8 @@ def run_cdc_replay(spark, events_dir: str, fmt: str, n_events: int, tag: str) ->
             table_root=f"{work}/table",
             events_dir=events_dir,
             checkpoint_dir=f"{work}/ckpt",
-            event_format=fmt,
+            event_format="jsonl" if fmt == "jsonl-default" else fmt,
+            json_mode="default" if fmt == "jsonl-default" else "compact",
             bucket_count=64,
         ),
     )
@@ -454,6 +455,15 @@ def main() -> None:
     r2 = run_cdc_replay(spark, ev_dir2, "jsonl", jsonl_events, f"jsonl-{CPUS}")
     queries["cdc_replay_jsonl"] = r2["sec"]
     cdc["jsonl"] = r2
+
+    # default JsonWriteMode (object-form wire — the reference's out-of-the-
+    # box output) at the same volume, through its lazy raw-object envelope
+    ev_dir2d = ensure_events(spark, jsonl_events, "jsonl-default")
+    r2d = run_cdc_replay(
+        spark, ev_dir2d, "jsonl-default", jsonl_events, f"jsonld-{CPUS}"
+    )
+    queries["cdc_replay_jsonl_default"] = r2d["sec"]
+    cdc["jsonl_default"] = r2d
 
     # --- multi-table: one mixed 4-table WAL vs the same volume single-table
     mt_events = max(N_EVENTS // 2, 4000)

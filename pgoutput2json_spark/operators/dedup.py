@@ -67,13 +67,21 @@ def salted_lww_reduce_raw(
     target_fields: list[dict],
     salt: int = 64,
     included: tuple | None = None,
+    json_mode: str = "compact",
 ) -> DataFrame:
     """Lazy-envelope LWW: the two-phase salted ``max_by`` carries only the
     RAW row text (one string per event, not per-slot structs); the single
     winner per key is decoded after the reduce — n_keys full parses instead
-    of n_events.  Output schema matches :func:`salted_lww_reduce`."""
+    of n_events.  Output schema matches :func:`salted_lww_reduce`.
+    ``json_mode='default'``: the raw text is an object ({"col": value},
+    JsonWriter.cs:208-230) — the winner decode is one map parse + the
+    name-addressed slot builder instead of the positional one."""
     from pgoutput2json_spark.lake.table import _parse_type
-    from pgoutput2json_spark.operators.parse import _field_struct, _per_version
+    from pgoutput2json_spark.operators.parse import (
+        _default_field_struct,
+        _field_struct,
+        _per_version,
+    )
 
     ev = F.struct(F.col("lsn"), F.col("sub"), F.col("op"), F.col("r"))
     ord_long = F.col("lsn") * 2 + F.col("sub")
@@ -100,9 +108,14 @@ def salted_lww_reduce_raw(
     # winner decode — one from_json per KEY, in its own projection so the
     # parse is not duplicated per column (CollapseProject keeps non-cheap
     # multi-referenced aliases in their own ProjectExec)
-    phase2 = phase2.withColumn(
-        "__r_arr", F.from_json(F.col("win")["r"], "array<string>")
-    )
+    if json_mode == "default":
+        phase2 = phase2.withColumn(
+            "__r_map", F.from_json(F.col("win")["r"], "map<string,string>")
+        )
+    else:
+        phase2 = phase2.withColumn(
+            "__r_arr", F.from_json(F.col("win")["r"], "array<string>")
+        )
     key_names = {n for _, rel in versions for n in rel.key_columns}
 
     def field_col(f):
@@ -111,6 +124,8 @@ def salted_lww_reduce_raw(
             return F.struct(
                 F.lit(False).alias("set"), F.lit(None).cast(dt).alias("val")
             ).alias(name)
+        if json_mode == "default":
+            return _default_field_struct(F.col("__r_map"), name, dt).alias(name)
         return _per_version(
             versions,
             lambda rel, name=name, dt=dt: _field_struct(

@@ -239,18 +239,24 @@ def parse_default_events(
                 F.lit(False).alias("set"), F.lit(None).cast(out_t).alias("val")
             )
         else:
-            raw = F.element_at(F.col("r"), F.lit(name))
-            present = F.col("r").isNotNull() & F.map_contains_key(
-                F.col("r"), F.lit(name)
-            )
-            is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
-            col = F.struct(
-                is_set.alias("set"),
-                F.when(is_set, _parse_slot(raw, dtype) if decode else raw).alias("val"),
-            )
+            col = _default_field_struct(F.col("r"), name, dtype, decode)
         out_cols.append(col.alias(f"f_{name}"))
 
     return events.select(*out_cols)
+
+
+def _default_field_struct(
+    r_map: Column, name: str, dtype: T.DataType, decode: bool = True
+) -> Column:
+    """(set, val) struct for one target column from a ``map<string,string>``
+    row object (default JsonWriteMode): ``set`` false for ABSENT keys (nulls
+    omitted unless WriteNulls — skip-on-update/null-on-insert) and TOAST
+    sentinels; present-with-null = SET NULL."""
+    raw = F.element_at(r_map, F.lit(name))
+    present = r_map.isNotNull() & F.map_contains_key(r_map, F.lit(name))
+    is_set = present & ~F.coalesce(_is_toast(raw), F.lit(False))
+    payload = _parse_slot(raw, dtype) if decode else raw
+    return F.struct(is_set.alias("set"), F.when(is_set, payload).alias("val"))
 
 
 def parse_events_raw(
@@ -318,6 +324,100 @@ def parse_events_raw(
         F.coalesce(full, F.lit(False)).alias("full_row"),
         F.col("r"),
     )
+
+
+def parse_default_events_raw(
+    events: DataFrame,
+    versions: list[tuple[int, RelationSchema]],
+    target_fields: list[dict],
+    included: tuple | None = None,
+) -> DataFrame:
+    """Minimal parse of the RAW default-mode envelope (``k``/``r`` captured
+    as raw JSON *object text*, schema.RAW_DEFAULT_EVENT_SCHEMA) — the
+    object-form twin of :func:`parse_events_raw`, producing the identical
+    lazy contract (op/lsn/old_key/new_key/full_row + raw ``r``):
+
+    - merge keys via ``get_json_object(col, "$['name']")`` per key column
+      (name-addressed — only the key column SET is relation-version-
+      dependent, JsonWriter.cs:208-230);
+    - ``full_row`` from ``json_object_keys``: true iff every target column
+      appears as a top-level key (present-with-null counts — WriteNulls
+      explicit nulls are snapshot-quality) AND the raw text carries no
+      TOAST sentinel.  Nulls omitted under WriteNulls=false simply leave
+      the row non-full — conservative, fewer events cut, never wrong.
+
+    The full object decode runs later via :func:`decode_raw_default_rows`
+    on cut survivors only."""
+    assert versions and versions[0][0] <= 0
+    target_names = [f["name"] for f in target_fields]
+
+    def key_from(col_name: str):
+        def build(rel: RelationSchema):
+            parts = [
+                F.get_json_object(
+                    F.col(col_name), "$['" + rel.columns[i].name + "']"
+                )
+                for i in rel.key_indices()
+            ]
+            return composite_key(parts)
+
+        return _per_version(versions, build)
+
+    full = (
+        F.col("r").isNotNull()
+        & (
+            F.size(
+                F.array_except(
+                    F.array(*[F.lit(n) for n in target_names]),
+                    F.json_object_keys(F.col("r")),
+                )
+            )
+            == 0
+        )
+        & ~F.col("r").contains(F.lit(TOAST_SENTINEL))
+    )
+    if included is not None:
+        full = F.lit(False)
+    return events.select(
+        F.col("c").alias("op"),
+        F.col("w").alias("lsn"),
+        F.when(F.col("k").isNotNull(), key_from("k")).alias("old_key"),
+        F.when(F.col("r").isNotNull(), key_from("r")).alias("new_key"),
+        F.coalesce(full, F.lit(False)).alias("full_row"),
+        F.col("r"),
+    )
+
+
+def decode_raw_default_rows(
+    df: DataFrame,
+    versions: list[tuple[int, RelationSchema]],
+    target_fields: list[dict],
+    carry: tuple = ("doc_id", "lsn", "sub", "op"),
+    included: tuple | None = None,
+) -> DataFrame:
+    """Full decode of cut survivors carrying raw default-mode ``r`` object
+    text: ONE ``from_json(r, map<string,string>)`` per row in its own
+    projection, then the shared object-form slot-struct builder per target
+    column (names self-describing — no version dispatch on values)."""
+    from pgoutput2json_spark.lake.table import _parse_type
+
+    df = df.withColumn("__r_map", F.from_json("r", "map<string,string>"))
+    key_names = {n for _, rel in versions for n in rel.key_columns}
+    cols: list[Column] = [F.col(c) for c in carry]
+    for fdict in target_fields:
+        name, dtype = fdict["name"], _parse_type(fdict["type"])
+        if included is not None and name not in included and name not in key_names:
+            cols.append(
+                F.struct(
+                    F.lit(False).alias("set"),
+                    F.lit(None).cast(dtype).alias("val"),
+                ).alias(f"f_{name}")
+            )
+            continue
+        cols.append(
+            _default_field_struct(F.col("__r_map"), name, dtype).alias(f"f_{name}")
+        )
+    return df.select(*cols)
 
 
 def decode_raw_rows(

@@ -44,6 +44,7 @@ def apply_row_filter_raw(
     versions: list,
     target_fields: list[dict],
     predicate: str,
+    json_mode: str = "compact",
 ) -> DataFrame:
     """Row filter on the LAZY raw envelope (``parse_events_raw`` output:
     op/lsn/old_key/new_key/full_row + raw ``r`` text): only the predicate's
@@ -51,7 +52,9 @@ def apply_row_filter_raw(
     ``get_json_object`` skip-parse of the raw row — the full slot decode
     stays deferred to cut survivors.  Same semantics as
     :func:`apply_row_filter`: filtered inserts dropped, updates leaving the
-    filter become deletes, D/T always pass, NULL = not-matching."""
+    filter become deletes, D/T always pass, NULL = not-matching.
+    ``json_mode='default'``: the raw row is object text — columns address
+    by NAME (no version dispatch; absent key = null = not-matching)."""
     from pgoutput2json_spark.lake.table import _parse_type
     from pgoutput2json_spark.operators.parse import _parse_slot, _per_version
     from pgoutput2json_spark.schema import TOAST_SENTINEL
@@ -64,6 +67,18 @@ def apply_row_filter_raw(
         if name not in refs:
             continue
         dtype = _parse_type(fdict["type"])
+
+        if json_mode == "default":
+            raw = F.get_json_object(F.col("r"), "$['" + name + "']")
+            cols.append(
+                F.when(
+                    raw.isNull() | (raw == TOAST_SENTINEL),
+                    F.lit(None).cast(dtype),
+                )
+                .otherwise(_parse_slot(raw, dtype))
+                .alias(name)
+            )
+            continue
 
         def build(rel, name=name, dtype=dtype):
             pos = next(

@@ -94,6 +94,24 @@ DEFAULT_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+#: Lazy-envelope variant of the default-mode wire: ``k``/``r`` captured as
+#: ONE raw JSON object-text string each (no per-entry map allocation); the
+#: engine skip-parses keys with ``get_json_object`` and ``full_row`` with
+#: ``json_object_keys``, decoding the object only for cut survivors
+#: (operators.parse.parse_default_events_raw / decode_raw_default_rows).
+RAW_DEFAULT_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("c", T.StringType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("t", T.StringType()),
+        T.StructField("schema", T.StringType()),  # relation (raw JSON object)
+        T.StructField("k", T.StringType()),       # raw JSON object text
+        T.StructField("r", T.StringType()),       # raw JSON object text
+        T.StructField("cts", T.LongType()),
+        T.StructField("mts", T.LongType()),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # PG OID -> Spark type (reference src/PgOutput2Json/PgOid.cs:5-78 categories,
 # JSON re-typing rules JsonWriter.cs:316-370 / JsonUtils.cs:8-269, and the

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pgoutput2json_spark.schema import (
     DEFAULT_EVENT_SCHEMA,
     EVENT_SCHEMA,
+    RAW_DEFAULT_EVENT_SCHEMA,
     RAW_EVENT_SCHEMA,
 )
 
@@ -46,7 +47,9 @@ def read_events(
         if fmt != "jsonl":
             raise ValueError("default json_mode is a wire (jsonl) format")
         return _normalize_default(
-            spark.read.schema(DEFAULT_EVENT_SCHEMA).json(path)
+            spark.read.schema(
+                RAW_DEFAULT_EVENT_SCHEMA if lazy else DEFAULT_EVENT_SCHEMA
+            ).json(path)
         )
     if fmt == "jsonl":
         return spark.read.schema(
@@ -68,7 +71,7 @@ def read_events_stream(
     """Streaming read (file source tailing the event directory).  ``lazy``
     as in :func:`read_events`."""
     if json_mode == "default":
-        schema = DEFAULT_EVENT_SCHEMA
+        schema = RAW_DEFAULT_EVENT_SCHEMA if lazy else DEFAULT_EVENT_SCHEMA
     elif fmt == "jsonl" and lazy:
         schema = RAW_EVENT_SCHEMA
     else:

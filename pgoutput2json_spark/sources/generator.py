@@ -220,6 +220,66 @@ def to_json_lines(events: DataFrame, extra: tuple = ()):
     return events.select(line.alias("value"), F.col("w"), *extra)
 
 
+def to_default_json_lines(
+    events: DataFrame, layouts: tuple = None, extra: tuple = ()
+) -> DataFrame:
+    """Render the same positional event stream as DEFAULT-JsonWriteMode
+    lines ({"col": value} objects for k/r, relation under "schema" —
+    JsonWriter.cs:208-230,415-462), entirely with JVM string expressions.
+
+    ``layouts``: candidate positional column layouts, selected per event by
+    row width (the generator's streams have one layout per relation
+    version).  Explicit nulls are written (WriteNulls=true) so compact
+    SET-NULL slots round-trip as SET NULL, not skip-on-update."""
+    if layouts is None:
+        base = [c.name for c in DOCS_RELATION.columns]
+        layouts = (base, base + ["lang"])
+    names_arr = None
+    for lay in sorted(layouts, key=len):
+        arr = F.array(*[F.lit(n) for n in lay])
+        cond_arr = F.when(F.size(F.col("r")) <= len(lay), arr)
+        names_arr = cond_arr if names_arr is None else F.coalesce(names_arr, cond_arr)
+    names_arr = F.coalesce(
+        names_arr, F.array(*[F.lit(n) for n in max(layouts, key=len)])
+    )
+
+    def obj_json(col):
+        # entry i -> "name":<value>; value quoting mirrors to_json_lines
+        quoted = F.zip_with(
+            col,
+            F.slice(names_arr, 1, F.size(col)),
+            lambda v, n: F.concat(
+                F.lit('"'), n, F.lit('":'),
+                F.when(v.isNull(), F.lit("null")).otherwise(
+                    F.when(
+                        v.rlike(r"^(\[.*\]|-?[0-9]+(\.[0-9]+)?|true|false|null|\".*\")$"),
+                        v,
+                    ).otherwise(F.concat(F.lit('"'), v, F.lit('"')))
+                ),
+            ),
+        )
+        return F.concat(F.lit("{"), F.array_join(quoted, ","), F.lit("}"))
+
+    line = F.concat(
+        F.lit('{"c":"'), F.col("c"),
+        F.lit('","w":'), F.col("w").cast("string"),
+        F.lit(',"t":"'), F.col("t"), F.lit('"'),
+        F.when(
+            F.col("s").isNotNull(), F.concat(F.lit(',"schema":'), F.col("s"))
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("k").isNotNull(), F.concat(F.lit(',"k":'), obj_json(F.col("k")))
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("r").isNotNull(), F.concat(F.lit(',"r":'), obj_json(F.col("r")))
+        ).otherwise(F.lit("")),
+        F.lit(',"cts":'), F.col("cts").cast("string"),
+        F.lit(',"mts":'), F.col("mts").cast("string"),
+        F.lit("}"),
+    )
+    return events.select(line.alias("value"), F.col("w"), *extra)
+
+
 def write_events(events: DataFrame, path: str, fmt: str = "jsonl", n_files: int = 8) -> None:
     """Write event files range-partitioned by LSN (WAL-segment analogue:
     files cover disjoint, ordered LSN ranges).
@@ -233,6 +293,10 @@ def write_events(events: DataFrame, path: str, fmt: str = "jsonl", n_files: int 
     """
     if fmt == "jsonl":
         lines = to_json_lines(events)
+        lines.repartitionByRange(n_files, "w").select("value").write.mode("overwrite").text(path)
+        suffix = ".txt"
+    elif fmt == "jsonl-default":
+        lines = to_default_json_lines(events)
         lines.repartitionByRange(n_files, "w").select("value").write.mode("overwrite").text(path)
         suffix = ".txt"
     elif fmt == "parquet":

@@ -43,8 +43,10 @@ from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
 from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups
 from pgoutput2json_spark.operators.parse import (
     decode_fields,
+    decode_raw_default_rows,
     decode_raw_rows,
     parse_default_events,
+    parse_default_events_raw,
     parse_events,
     parse_events_raw,
 )
@@ -345,14 +347,26 @@ class CdcEngine:
 
     def _lazy_supported(self) -> bool:
         """Whether the lazy (raw k/r text) envelope can serve this config:
-        every compact-jsonl configuration does.  Row filters decode only
-        the predicate's referenced columns pre-cut (apply_row_filter_raw);
-        a P1 allow-list pins ``full_row`` false (only deletes cut — the
-        same decisions the eager all-columns-set test makes, since excluded
-        columns are permanently unset) and excludes columns at survivor
-        decode."""
+        every jsonl configuration does — compact (raw array text,
+        positional skip-parse) and default (raw object text, name-addressed
+        skip-parse).  Row filters decode only the predicate's referenced
+        columns pre-cut (apply_row_filter_raw); a P1 allow-list pins
+        ``full_row`` false (only deletes cut — the same decisions the eager
+        all-columns-set test makes, since excluded columns are permanently
+        unset) and excludes columns at survivor decode.  Default mode's
+        name-addressed ``get_json_object`` paths require identifier-safe
+        column names — exotic names (quotes/brackets) fall back to eager."""
         o = self.opts
-        return o.event_format == "jsonl" and o.json_mode == "compact"
+        if o.event_format != "jsonl":
+            return False
+        if o.json_mode == "default":
+            import re
+
+            return all(
+                re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f["name"]) is not None
+                for f in self.table.schema_fields()
+            )
+        return True
 
     def apply_batch(
         self, events: DataFrame, epoch_id: int, head_hint: dict | None = None
@@ -385,9 +399,14 @@ class CdcEngine:
         # array envelope and take the eager path.
         lazy_env = dict(events.dtypes).get("r") == "string"
         if lazy_env and not self._lazy_supported():
+            upgrade_t = (
+                "map<string,string>"
+                if opts.json_mode == "default"
+                else "array<string>"
+            )
             events = events.withColumn(
-                "k", F.from_json("k", "array<string>")
-            ).withColumn("r", F.from_json("r", "array<string>"))
+                "k", F.from_json("k", upgrade_t)
+            ).withColumn("r", F.from_json("r", upgrade_t))
             lazy_env = False
         if cache_events:
             events = events.persist()
@@ -464,15 +483,22 @@ class CdcEngine:
 
             if lazy_env:
                 # deferred ENVELOPE decode: keys by skip-parse, slots decode
-                # post-cut (parse.parse_events_raw docstring)
-                parsed = parse_events_raw(
+                # post-cut (parse.parse_events_raw docstring); default mode
+                # takes the name-addressed object-form twin
+                raw_parse_fn = (
+                    parse_default_events_raw
+                    if opts.json_mode == "default"
+                    else parse_events_raw
+                )
+                parsed = raw_parse_fn(
                     events, versions, fields, included=opts.included_columns
                 )
                 if opts.row_filter:
                     # only the predicate's referenced columns decode here
                     # (skip-parse per column); the rest stay deferred
                     parsed = apply_row_filter_raw(
-                        parsed, versions, fields, opts.row_filter
+                        parsed, versions, fields, opts.row_filter,
+                        json_mode=opts.json_mode,
                     )
             else:
                 parse_fn = (
@@ -523,6 +549,7 @@ class CdcEngine:
                     grouped = salted_lww_reduce_raw(
                         flat, versions, fields, salt=skew_salt,
                         included=opts.included_columns,
+                        json_mode=opts.json_mode,
                     ).persist()
                 else:
                     if deferred:
@@ -540,7 +567,12 @@ class CdcEngine:
                                     persist_registry=batch_caches,
                                     is_snapshot=lazy_snap)
                 if lazy_env:
-                    flat = decode_raw_rows(
+                    raw_decode_fn = (
+                        decode_raw_default_rows
+                        if opts.json_mode == "default"
+                        else decode_raw_rows
+                    )
+                    flat = raw_decode_fn(
                         flat, versions, fields, included=opts.included_columns
                     )
                 elif deferred:

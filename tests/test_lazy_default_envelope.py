@@ -1,0 +1,192 @@
+"""Lazy envelope for DEFAULT JsonWriteMode (raw k/r object text) —
+equivalence vs the eager map-envelope default path AND vs the compact
+format on the same underlying event stream (VERDICT r4 next-round #4).
+
+The same full-feature positional stream (evolution mid-batch, TOAST,
+key-updates, truncates, w=0 snapshot rows, hot keys) renders as compact
+jsonl AND default jsonl; every (mode, laziness) combination must produce
+byte-identical table state.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.schema import RAW_DEFAULT_EVENT_SCHEMA
+from pgoutput2json_spark.sources.events import read_events
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    to_default_json_lines,
+    write_events,
+)
+from tests.util import make_engine
+
+
+SPEC = GeneratorSpec(
+    n_events=6_000,
+    n_keys=500,
+    seed=23,
+    evolve_at=4_000,
+    toast_pct=8,
+    keyupdate_pct=5,
+    hot_pct=15,
+    snapshot_keys=100,
+    truncate_at=(1_500,),
+)
+
+
+@pytest.fixture(scope="module")
+def wals(spark, tmp_path_factory):
+    """(compact_dir, default_dir) — the SAME event stream in both wire
+    modes (range-partitioned identically so batch composition matches)."""
+    root = tmp_path_factory.mktemp("dlazywal")
+    events = generate_events(spark, SPEC)
+    compact = str(root / "compact")
+    write_events(events, compact, "jsonl", n_files=4)
+    default = str(root / "default")
+    (
+        to_default_json_lines(events)
+        .repartitionByRange(4, "w")
+        .select("value")
+        .write.mode("overwrite")
+        .text(default)
+    )
+    return compact, default
+
+
+def _state(spark, tmpdir, wal, apply_mode="exact", lazy=True,
+           json_mode="default", **opts_kw):
+    eng = make_engine(spark, tmpdir, json_mode=json_mode, **opts_kw)
+    eng.opts.apply_mode = apply_mode
+    df = read_events(
+        spark, os.path.join(wal, "*.txt"), "jsonl",
+        json_mode=json_mode, lazy=lazy,
+    )
+    eng.apply_batch(df, epoch_id=0)
+    return eng.table.read()
+
+
+def _assert_same(a, b):
+    assert a.schema.simpleString() == b.schema.simpleString()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
+def test_raw_default_schema_captures_object_as_text(spark, wals):
+    _, default = wals
+    df = spark.read.schema(RAW_DEFAULT_EVENT_SCHEMA).json(
+        os.path.join(default, "*.txt")
+    )
+    row = df.filter(F.col("c") == "I").first()
+    assert row["r"].startswith("{") and row["r"].endswith("}")
+    # name-addressed skip-parse matches element_at on the parsed map
+    mism = (
+        df.filter(F.col("r").isNotNull())
+        .select(
+            F.get_json_object("r", "$['doc_id']").alias("g"),
+            F.element_at(
+                F.from_json("r", "map<string,string>"), "doc_id"
+            ).alias("e"),
+        )
+        .filter(~F.col("g").eqNullSafe(F.col("e")))
+        .count()
+    )
+    assert mism == 0
+
+
+@pytest.mark.parametrize("apply_mode", ["exact", "lww"])
+def test_lazy_default_equals_eager_default(spark, tmp_path, wals, apply_mode):
+    _, default = wals
+    eager = _state(spark, tmp_path / "e", default, apply_mode, lazy=False)
+    lazy = _state(spark, tmp_path / "l", default, apply_mode, lazy=True)
+    _assert_same(eager, lazy)
+
+
+def test_default_equals_compact_same_stream(spark, tmp_path, wals):
+    """Cross-wire-format: the object form of the same stream lands the
+    same table state as the compact positional form (both lazy)."""
+    compact, default = wals
+    c = _state(spark, tmp_path / "c", compact, "exact", lazy=True,
+               json_mode="compact")
+    d = _state(spark, tmp_path / "d", default, "exact", lazy=True)
+    _assert_same(c, d)
+
+
+def test_engine_reads_lazy_default_by_default(spark, tmp_path, wals):
+    """A default-mode jsonl engine advertises lazy support and its own
+    read path captures r as raw object text."""
+    eng = make_engine(spark, tmp_path / "auto", json_mode="default")
+    assert eng._lazy_supported()
+    df = read_events(
+        spark, os.path.join(wals[1], "*.txt"), "jsonl",
+        json_mode="default", lazy=eng._lazy_supported(),
+    )
+    assert dict(df.dtypes)["r"] == "string"
+
+
+@pytest.mark.parametrize(
+    "predicate",
+    ["source <> 'books'", "n_tok >= 20 AND SOURCE IS NOT NULL"],
+)
+def test_lazy_default_row_filter_equals_eager(spark, tmp_path, wals, predicate):
+    """Row filters on the lazy default envelope decode only the predicate's
+    referenced columns by name-addressed skip-parse; final state matches
+    the eager default path exactly (incl. the case-insensitive reference
+    and update->delete translation)."""
+    _, default = wals
+    tag = str(abs(hash(predicate)) % 10_000)
+    eager = _state(spark, tmp_path / f"e{tag}", default, "exact", lazy=False,
+                   row_filter=predicate)
+    lazy = _state(spark, tmp_path / f"l{tag}", default, "exact", lazy=True,
+                  row_filter=predicate)
+    _assert_same(eager, lazy)
+
+
+@pytest.mark.parametrize("apply_mode", ["exact", "lww"])
+def test_lazy_default_included_columns_equals_eager(
+    spark, tmp_path, wals, apply_mode
+):
+    _, default = wals
+    eager = _state(spark, tmp_path / f"ie-{apply_mode}", default, apply_mode,
+                   lazy=False, included_columns=("doc_id", "source"))
+    lazy = _state(spark, tmp_path / f"il-{apply_mode}", default, apply_mode,
+                  lazy=True, included_columns=("doc_id", "source"))
+    _assert_same(eager, lazy)
+    assert lazy.filter(F.col("tokens").isNotNull()).count() == 0
+
+
+def test_exotic_column_names_fall_back_to_eager(spark, tmp_path):
+    """Identifier-unsafe column names can't take name-addressed JSON paths:
+    _lazy_supported goes false and apply_batch upgrades raw text in place
+    (map parse) rather than mis-addressing."""
+    from pgoutput2json_spark.lake.table import LakeTable
+    from pgoutput2json_spark.schema import ColumnSpec, RelationSchema
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    rel = RelationSchema(
+        "public.weird",
+        [ColumnSpec("doc_id", True, 25), ColumnSpec("va'l", False, 23)],
+    )
+    fields = [
+        {"name": c.name, "type": c.spark_type.simpleString(), "oid": c.oid}
+        for c in rel.columns
+    ]
+    root = str(tmp_path / "weird")
+    LakeTable.create(
+        spark, os.path.join(root, "table"), schema=fields,
+        bucket_column="doc_id", key_columns=["doc_id"],
+        bucket_count=4, properties={"cdc.relation": rel.to_json()},
+    )
+    opts = EngineOptions(
+        table_root=os.path.join(root, "table"),
+        events_dir=os.path.join(root, "events"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        event_format="jsonl",
+        json_mode="default",
+        bucket_count=4,
+    )
+    eng = CdcEngine(spark, opts)
+    assert not eng._lazy_supported()
