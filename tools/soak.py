@@ -16,7 +16,20 @@ keys: all events touching the sampled keys (old OR new key — closed under
 key-updates) are collected, replayed through the serial python oracle
 (tests/oracle.py), and compared row-for-row.
 
-Output: one JSON document on stdout; also written to BENCH/SOAK_r4.json.
+Output: one JSON document on stdout; also written to BENCH/$SOAK_OUT
+(default SOAK_r5.json).
+
+Round-5 additions (VERDICT r4 #2/#8):
+- maintenance now overlaps the next micro-batch by default
+  (EngineOptions.maintenance_async); the soak reports
+  ``min_epoch_vs_steady`` — the slowest applied epoch over the median
+  steady-state epoch throughput — the r4 criterion is no epoch below
+  ~0.6x steady state (r4 inline maintenance measured 0.25-0.33x).
+- SOAK_SKEW=1 runs the hot-key feedback loop END TO END under sustained
+  load: the WAL gets SOAK_HOT_PCT percent of events on one key,
+  apply_mode='lww', and a concurrent hot_key_stream monitor feeds a
+  SkewFeedback that the engine consults per epoch; the chosen
+  ``skew.salt`` is recorded per epoch so the salt can be seen adapting.
 """
 
 from __future__ import annotations
@@ -37,6 +50,9 @@ EPOCHS = int(os.environ.get("SOAK_EPOCHS", "32"))
 FORMAT = os.environ.get("SOAK_FORMAT", "parquet")
 CACHE = os.environ.get("SOAK_CACHE", "/tmp/pg2spark-soak")
 SAMPLE_KEYS = int(os.environ.get("SOAK_SAMPLE_KEYS", "200"))
+OUT = os.environ.get("SOAK_OUT", "SOAK_r5.json")
+SKEW = os.environ.get("SOAK_SKEW", "") == "1"
+HOT_PCT = int(os.environ.get("SOAK_HOT_PCT", "50" if SKEW else "10"))
 
 
 def jvm_rss_kb() -> int:
@@ -61,7 +77,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_files = EPOCHS * 4  # 4 segment files per micro-batch epoch
-    ev_dir = f"{CACHE}/events-{N}-{FORMAT}-{n_files}"
+    ev_dir = f"{CACHE}/events-{N}-{FORMAT}-{n_files}-h{HOT_PCT}"
     # Steady-state CDC shape: the whole keyspace bootstraps at w=0 (first
     # epochs = CoW backfill), then the stream updates ~N/EPOCHS events per
     # epoch over a keyspace 5x that size — batch keys < 25% of base rows, so
@@ -72,7 +88,7 @@ def main() -> None:
         n_keys=max(N // 5, 100),
         seed=42,
         snapshot_keys=max(N // 5, 50),
-        hot_pct=10,
+        hot_pct=HOT_PCT,
         max_tokens=64,
     )
     if not os.path.exists(f"{ev_dir}/_READY"):
@@ -111,11 +127,34 @@ def main() -> None:
             "delta_files": n_delta,
             "files_on_disk": on_disk,
             "expired": "expire.keep-last" in summary,
+            "maintenance": summary.get("maintenance"),
+            "skew_salt": summary.get("skew.salt"),
             "jvm_rss_mb": round(jvm_rss_kb() / 1024),
         }
         epochs.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
+    fb = None
+    mon_q = None
+    if SKEW:
+        from pgoutput2json_spark.sources.events import read_events_stream
+        from pgoutput2json_spark.streaming.monitor import (
+            SkewFeedback,
+            hot_key_stream,
+        )
+
+        # feedback threshold: a key is "hot" once it exceeds ~1% of an
+        # epoch's events — the monitor keeps reporting on each doubling so
+        # the salt keeps adapting across epochs
+        fb = SkewFeedback(threshold=max(N // EPOCHS // 100, 1000))
+        mon_ck = f"{work}/monck"
+        mon_q = fb.attach_to(
+            hot_key_stream(
+                read_events_stream(spark, ev_dir, FORMAT),
+                threshold=fb.threshold,
+            ),
+            mon_ck,
+        )
     eng = CdcEngine(
         spark,
         EngineOptions(
@@ -132,12 +171,16 @@ def main() -> None:
             compact_max_files=int(os.environ.get("SOAK_COMPACT_MAX", "4")),
             expire_every=8,           # maintenance engaged mid-run
             post_commit_hook=hook,
+            apply_mode="lww" if SKEW else "exact",
+            skew_feedback=fb,
         ),
     )
     t0 = time.time()
     t_prev[0] = t0
     eng.run_until_drained(timeout_sec=7200)
     wall = time.time() - t0
+    if mon_q is not None:
+        mon_q.stop()
 
     # ---- flatness: first-half vs second-half steady-state throughput
     applied = [e for e in epochs if e["n_events"]]
@@ -146,6 +189,18 @@ def main() -> None:
         sum(e["sec"] for e in applied[:half]), 1e-9)
     eps2 = sum(e["n_events"] for e in applied[half:]) / max(
         sum(e["sec"] for e in applied[half:]), 1e-9)
+
+    # ---- worst-epoch stall (VERDICT r4 #2): with maintenance overlapped,
+    # no epoch should fall below ~0.6x the steady-state (median) epoch
+    # throughput.  The first epoch (CoW bootstrap of the whole keyspace) is
+    # a different workload, so steady state is measured over the rest.
+    steady = sorted(e["events_per_sec"] for e in applied[1:]) or [0]
+    median_eps = steady[len(steady) // 2]
+    worst = min(applied[1:], key=lambda e: e["events_per_sec"], default=None)
+    min_ratio = (
+        round(worst["events_per_sec"] / median_eps, 3)
+        if worst and median_eps else None
+    )
 
     # ---- table bytes on disk (live snapshot)
     snap = eng.table.snapshot()
@@ -164,11 +219,22 @@ def main() -> None:
     from pgoutput2json_spark.sources.events import read_events
 
     keys = [f"doc-{i:06d}" for i in range(1, spec.n_keys, max(spec.n_keys // SAMPLE_KEYS, 1))][:SAMPLE_KEYS]
+    if SKEW:
+        # the hot key (doc 0 gets HOT_PCT% of all events) is the one most
+        # exposed to salted-reduce bugs — always oracle-check it
+        keys[0] = "doc-000000"
     kset = set(keys)
     ev = read_events(spark, ev_dir, FORMAT)
-    touched = ev.filter(
-        F.element_at("k", 1).isin(keys) | F.element_at("r", 1).isin(keys)
-    ).collect()
+    touched = (
+        ev.filter(
+            F.element_at("k", 1).isin(keys) | F.element_at("r", 1).isin(keys)
+        )
+        # the serial oracle only consumes (c, w, k, r); trimming here keeps
+        # the skew-mode collect bounded (the hot key owns HOT_PCT% of the
+        # WAL, so its full history comes to the driver for replay)
+        .select("c", "w", "k", "r")
+        .collect()
+    )
     o = Oracle()
     o.replay([
         {"c": r["c"], "w": r["w"],
@@ -205,6 +271,18 @@ def main() -> None:
         "events_per_sec_first_half": round(eps1),
         "events_per_sec_second_half": round(eps2),
         "throughput_trend_ratio": round(eps2 / eps1, 3) if eps1 else None,
+        "median_epoch_events_per_sec": median_eps,
+        "min_epoch_events_per_sec": worst["events_per_sec"] if worst else None,
+        "min_epoch_vs_steady": min_ratio,
+        "min_epoch_detail": {k: worst[k] for k in ("epoch", "maintenance", "expired")} if worst else None,
+        "maintenance_async": True,
+        "skew_mode": SKEW,
+        "hot_pct": HOT_PCT,
+        "skew_salts_seen": sorted({e["skew_salt"] for e in applied if e.get("skew_salt")}) if SKEW else None,
+        "feedback_hot_keys": (
+            {k: v for k, v in sorted(fb.hot_keys().items(), key=lambda kv: -kv[1])[:3]}
+            if fb is not None else None
+        ),
         "max_delta_files": max((e["delta_files"] for e in applied), default=0),
         "final_base_files": applied[-1]["base_files"] if applied else 0,
         "final_delta_files": applied[-1]["delta_files"] if applied else 0,
@@ -222,7 +300,7 @@ def main() -> None:
         "per_epoch": epochs,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "SOAK_r4.json"), "w") as f:
+    with open(os.path.join(repo, "BENCH", OUT), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "per_epoch"}))
     shutil.rmtree(work, ignore_errors=True)

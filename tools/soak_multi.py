@@ -1,0 +1,256 @@
+#!/usr/bin/env python
+"""Multi-table soak: sustained publication-level ingest (VERDICT r4 #5).
+
+SOAK_r4 proved single-table flatness; the reference slot carries a whole
+publication (DataExporter.cs:44-101), so this runs SOAK_EVENTS (default
+50M) of MIXED events for SOAK_TABLES (default 4) tables through the REAL
+multi-table streaming path (``MultiTableCdcEngine.start_stream``,
+availableNow) in >= SOAK_EPOCHS micro-batch epochs, with per-table
+auto-maintenance (compaction + snapshot expiry) engaged.
+
+Each table's slice is an independent deterministic stream (seed 42+i,
+own LSN space) with a w=0 snapshot bootstrap of its whole keyspace, then
+update-heavy steady state — the same shape as the single-table soak, x4.
+The default ``exact`` mode runs ONE unified Spark plan per epoch (one
+scan, one cut, one group shuffle for all tables), so this is also the
+sustained-load evidence for the round-5 unification.
+
+Recorded per epoch: wall, aggregate + per-table events/s, per-table
+base/delta file counts.  Afterwards EVERY table's final state is checked
+against the serial python oracle (tests/oracle.py) on a deterministic
+key sample.
+
+Output: one JSON document on stdout; also BENCH/$SOAK_MULTI_OUT
+(default SOAK_MULTI_r5.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+N = int(os.environ.get("SOAK_EVENTS", "50000000"))
+TABLES = int(os.environ.get("SOAK_TABLES", "4"))
+CPUS = int(os.environ.get("SOAK_CPUS", "8"))
+EPOCHS = int(os.environ.get("SOAK_EPOCHS", "16"))
+FORMAT = os.environ.get("SOAK_FORMAT", "parquet")
+CACHE = os.environ.get("SOAK_CACHE", "/tmp/pg2spark-soakm")
+SAMPLE_KEYS = int(os.environ.get("SOAK_SAMPLE_KEYS", "100"))
+OUT = os.environ.get("SOAK_MULTI_OUT", "SOAK_MULTI_r5.json")
+
+
+def main() -> None:
+    from bench import build_spark
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+    from pgoutput2json_spark.streaming.multi import (
+        MultiTableCdcEngine,
+        MultiTableOptions,
+    )
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per = N // TABLES
+    n_files = EPOCHS * 4
+    specs = {
+        f"public.docs{i}": GeneratorSpec(
+            n_events=per,
+            n_keys=max(per // 5, 100),
+            seed=42 + i,
+            snapshot_keys=max(per // 5, 50),
+            table=f"public.docs{i}",
+            relation_at=0,
+            hot_pct=10,
+            max_tokens=64,
+        )
+        for i in range(TABLES)
+    }
+    ev_dir = f"{CACHE}/events-{N}-{TABLES}-{FORMAT}-{n_files}"
+    if not os.path.exists(f"{ev_dir}/_READY"):
+        shutil.rmtree(ev_dir, ignore_errors=True)
+        t0 = time.time()
+        parts = [generate_events(spark, s) for s in specs.values()]
+        write_events(reduce(lambda a, b: a.unionByName(b), parts),
+                     ev_dir, FORMAT, n_files)
+        print(f"generated {N} events x {TABLES} tables in "
+              f"{time.time()-t0:.0f}s", file=sys.stderr)
+        with open(f"{ev_dir}/_READY", "w") as f:
+            f.write("ok")
+
+    work = f"{CACHE}/run-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    mt = MultiTableCdcEngine(
+        spark,
+        MultiTableOptions(
+            warehouse_root=f"{work}/wh",
+            events_dir=ev_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format=FORMAT,
+            bucket_count=32,
+            max_files_per_trigger=max(n_files // EPOCHS, 1),
+            compact_every=8,
+            expire_every=8,
+        ),
+    )
+
+    epochs: list[dict] = []
+    orig_apply = mt.apply_batch
+
+    def apply_and_record(df, eid):
+        t0 = time.time()
+        summaries = orig_apply(df, eid)
+        dt = time.time() - t0
+        per_table = {}
+        total_ev = 0
+        for tbl, s in summaries.items():
+            if s.get("skipped"):
+                per_table[tbl] = {"skipped": True}
+                continue
+            n_ev = int(s.get("n-events", 0))
+            total_ev += n_ev
+            eng = mt.engine_for(tbl)
+            snap = eng.table.snapshot()
+            per_table[tbl] = {
+                "n_events": n_ev,
+                "base_files": sum(len(v) for v in snap.get("files", {}).values()),
+                "delta_files": sum(len(v) for v in snap.get("deltas", {}).values()),
+                "merge_mode": s.get("merge-mode"),
+                "maintenance": s.get("maintenance"),
+            }
+        rec = {
+            "epoch": eid,
+            "sec": round(dt, 2),
+            "n_events": total_ev,
+            "events_per_sec": round(total_ev / dt) if dt > 0 else None,
+            "timing_ms": dict(getattr(mt, "last_timing", {})),
+            "tables": per_table,
+        }
+        epochs.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+        return summaries
+
+    mt.apply_batch = apply_and_record
+
+    t0 = time.time()
+    mt.run_until_drained(timeout_sec=7200)
+    wall = time.time() - t0
+
+    applied = [e for e in epochs if e["n_events"]]
+    half = len(applied) // 2
+    eps1 = sum(e["n_events"] for e in applied[:half]) / max(
+        sum(e["sec"] for e in applied[:half]), 1e-9)
+    eps2 = sum(e["n_events"] for e in applied[half:]) / max(
+        sum(e["sec"] for e in applied[half:]), 1e-9)
+    steady = sorted(e["events_per_sec"] for e in applied[1:]) or [0]
+    median_eps = steady[len(steady) // 2]
+    worst = min(applied[1:], key=lambda e: e["events_per_sec"], default=None)
+
+    # ---- per-table oracle on a deterministic key sample ------------------
+    from pyspark.sql import functions as F
+    from oracle import Oracle
+    from pgoutput2json_spark.sources.events import read_events
+
+    ev = read_events(spark, ev_dir, FORMAT)
+    tables_out = {}
+    all_ok = True
+    for tbl, spec in specs.items():
+        keys = [
+            f"doc-{i:06d}"
+            for i in range(1, spec.n_keys, max(spec.n_keys // SAMPLE_KEYS, 1))
+        ][:SAMPLE_KEYS]
+        kset = set(keys)
+        touched = (
+            ev.filter(F.col("t") == tbl)
+            .filter(F.element_at("k", 1).isin(keys)
+                    | F.element_at("r", 1).isin(keys))
+            .select("c", "w", "k", "r")
+            .collect()
+        )
+        o = Oracle()
+        o.replay([
+            {"c": r["c"], "w": r["w"],
+             **({"k": list(r["k"])} if r["k"] is not None else {}),
+             **({"r": list(r["r"])} if r["r"] is not None else {})}
+            for r in touched
+        ])
+        want = {k: v for k, v in o.table().items() if k in kset}
+        eng = mt.engine_for(tbl)
+        got = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in eng.table.read().filter(F.col("doc_id").isin(keys)).collect()
+        }
+        mismatches = []
+        if set(got) != set(want):
+            mismatches.append(
+                f"keys: extra={sorted(set(got)-set(want))[:3]} "
+                f"missing={sorted(set(want)-set(got))[:3]}"
+            )
+        for k in set(got) & set(want):
+            g, w = got[k], want[k]
+            for c, coerce in (("tokens", lambda v: list(v) if v is not None else None),
+                              ("n_tok", lambda v: int(v) if v is not None else None),
+                              ("source", lambda v: v)):
+                gv = list(g[c]) if isinstance(g.get(c), list) else g.get(c)
+                wv = coerce(w.get(c))
+                if gv != wv:
+                    mismatches.append(f"{k}.{c}: engine={gv!r} oracle={wv!r}")
+        snap = eng.table.snapshot()
+        tables_out[tbl] = {
+            "final_rows": eng.table.read().count(),
+            "base_files": sum(len(v) for v in snap.get("files", {}).values()),
+            "delta_files": sum(len(v) for v in snap.get("deltas", {}).values()),
+            "oracle_sample_keys": len(keys),
+            "oracle_sample_events": len(touched),
+            "oracle_mismatches": mismatches[:10],
+            "oracle_ok": not mismatches,
+        }
+        all_ok = all_ok and not mismatches
+
+    out = {
+        "n_events": N,
+        "n_tables": TABLES,
+        "cpus": CPUS,
+        "format": FORMAT,
+        "apply_mode": "exact (unified plan)",
+        "epochs": len(applied),
+        "wall_sec": round(wall, 1),
+        "events_per_sec_overall": round(N / wall),
+        "events_per_sec_first_half": round(eps1),
+        "events_per_sec_second_half": round(eps2),
+        "throughput_trend_ratio": round(eps2 / eps1, 3) if eps1 else None,
+        "median_epoch_events_per_sec": median_eps,
+        "min_epoch_events_per_sec": worst["events_per_sec"] if worst else None,
+        "min_epoch_vs_steady": (
+            round(worst["events_per_sec"] / median_eps, 3)
+            if worst and median_eps else None
+        ),
+        "max_delta_files_any_table": max(
+            (t["delta_files"] for e in applied for t in e["tables"].values()
+             if not t.get("skipped")),
+            default=0,
+        ),
+        "all_tables_oracle_ok": all_ok,
+        "tables": tables_out,
+        "per_epoch": epochs,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH", OUT), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "per_epoch"}))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
