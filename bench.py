@@ -511,10 +511,22 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "cdc": cdc,
+        "host_mem_gbps": _host_gbps(),
     }
     print(json.dumps(out))
     _persist_results(out)
     spark.stop()
+
+
+def _host_gbps() -> float:
+    """Deliverable memory bandwidth at bench time (tools/hostcheck.py) —
+    the resource this timeshared VM actually runs out of; recorded so a
+    degraded-host window is visible in the artifact instead of reading as
+    an engine regression."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from hostcheck import probe
+
+    return probe()["mem_gbps"]
 
 
 def _persist_results(out: dict) -> None:
@@ -558,11 +570,18 @@ def scaling() -> None:
     conditions) and the efficiency ratio uses the BEST run per level —
     steady-state capability, not contention luck.  Every run is recorded in
     the output (with cpu_user/steal) so the selection is auditable."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from hostcheck import probe
+
     levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "8,32").split(",")]
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     runs: dict[int, list] = {c: [] for c in levels}
+    probes: list[dict] = []
     for rep in range(repeats):
         for cpus in levels:
+            hp = probe()
+            probes.append(hp)
+            print(f"host: {hp['mem_gbps']} GB/s deliverable", file=sys.stderr)
             env = dict(os.environ)
             env.update(
                 SPARK_GRAFT_CPUS=str(cpus),
@@ -577,6 +596,7 @@ def scaling() -> None:
             )
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)["cdc"][FORMAT]
+            r["host_mem_gbps"] = hp["mem_gbps"]
             runs[cpus].append(r)
             print(
                 f"rep{rep} local[{cpus}]: {r['events_per_sec']} events/s "
@@ -592,11 +612,14 @@ def scaling() -> None:
         "sec": {str(k): best[k]["sec"] for k in levels},
         "all_runs": {
             str(k): [
-                {f: r[f] for f in ("sec", "events_per_sec", "cpu_user_pct", "cpu_steal_pct")}
+                {f: r[f] for f in ("sec", "events_per_sec", "cpu_user_pct",
+                                   "cpu_steal_pct", "host_mem_gbps")}
                 for r in rs
             ]
             for k, rs in runs.items()
         },
+        "host_mem_gbps_min": min(p["mem_gbps"] for p in probes),
+        "host_mem_gbps_max": max(p["mem_gbps"] for p in probes),
         "n_events": N_EVENTS,
         "format": FORMAT,
         "selection": "best_of_repeats",

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""One-line host-health probe for bench gating.
+
+This VM timeshares physical cores AND memory bandwidth with other guests;
+BASELINE.md documents up-to-10x wall-clock swings on identical runs.  The
+r3 instrumentation identified deliverable memory bandwidth as the scarce
+resource (cpu_sys% explodes when Spark's shuffle/scan memcpy outruns it),
+and round 5 measured a window where a single-core streaming sum got
+0.9 GB/s — ~10x below this host's healthy floor — while scalar compute
+was unaffected (tight python loop at normal speed).  Benchmarks recorded
+in such a window measure the neighbors, not the engine.
+
+Protocol: every throughput artifact (scaling / soak / headline bench)
+records this probe's output next to its numbers; runs land only when
+``mem_gbps`` is at/above HEALTHY_GBPS (default 4.0).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+HEALTHY_GBPS = 4.0
+
+
+def probe(size: int = 200_000_000) -> dict:
+    import numpy as np
+
+    t0 = time.time()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    loop_s = time.time() - t0
+
+    b = np.empty(size, dtype=np.float64)
+    b.fill(1.0)
+    t0 = time.time()
+    _ = b.sum()
+    sweep_s = time.time() - t0
+    gbps = size * 8 / 1e9 / sweep_s
+    return {
+        "mem_gbps": round(gbps, 2),
+        "tight_loop_s": round(loop_s, 3),
+        "healthy": gbps >= HEALTHY_GBPS,
+        "ts": int(time.time()),
+    }
+
+
+if __name__ == "__main__":
+    out = probe()
+    print(json.dumps(out))
+    sys.exit(0 if out["healthy"] or "--no-gate" in sys.argv else 1)

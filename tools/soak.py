@@ -175,10 +175,14 @@ def main() -> None:
             skew_feedback=fb,
         ),
     )
+    from hostcheck import probe
+
+    hp0 = probe()
     t0 = time.time()
     t_prev[0] = t0
     eng.run_until_drained(timeout_sec=7200)
     wall = time.time() - t0
+    hp1 = probe()
     if mon_q is not None:
         mon_q.stop()
 
@@ -276,6 +280,8 @@ def main() -> None:
         "min_epoch_vs_steady": min_ratio,
         "min_epoch_detail": {k: worst[k] for k in ("epoch", "maintenance", "expired")} if worst else None,
         "maintenance_async": True,
+        "host_mem_gbps_before": hp0["mem_gbps"],
+        "host_mem_gbps_after": hp1["mem_gbps"],
         "skew_mode": SKEW,
         "hot_pct": HOT_PCT,
         "skew_salts_seen": sorted({e["skew_salt"] for e in applied if e.get("skew_salt")}) if SKEW else None,

@@ -142,9 +142,13 @@ def main() -> None:
 
     mt.apply_batch = apply_and_record
 
+    from hostcheck import probe
+
+    hp0 = probe()
     t0 = time.time()
     mt.run_until_drained(timeout_sec=7200)
     wall = time.time() - t0
+    hp1 = probe()
 
     applied = [e for e in epochs if e["n_events"]]
     half = len(applied) // 2
@@ -241,6 +245,8 @@ def main() -> None:
             default=0,
         ),
         "all_tables_oracle_ok": all_ok,
+        "host_mem_gbps_before": hp0["mem_gbps"],
+        "host_mem_gbps_after": hp1["mem_gbps"],
         "tables": tables_out,
         "per_epoch": epochs,
     }
