@@ -171,3 +171,38 @@ def test_generator_table_override_and_base_relation(spark):
     assert rel.table == "public.other"
     assert [c.name for c in rel.columns] == ["doc_id", "tokens", "n_tok", "source"]
     assert rel.key_columns == ["doc_id"]
+
+
+def test_type_conflicted_column_names_across_tables(spark, tmpdir_path):
+    """Two tables claim the same column name at DIFFERENT types: the union
+    slot schema disambiguates (name__cN slot) and the conflicted table
+    takes the per-table remap fallback — both final states must still be
+    exact (streaming/multi._union_slots / _remap_slots)."""
+    a_s = '["public.conf_a",["id",1,25],["val",0,23],["tag",0,25]]'
+    b_s = '["public.conf_b",["id",1,25],["val",0,25],["n",0,23]]'
+    eng = mk(spark, tmpdir_path)
+    events = [
+        ev("I", 1, ["a1", 10, "x"], s=a_s, t="public.conf_a"),
+        ev("I", 2, ["b1", "hello", 7], s=b_s, t="public.conf_b"),
+        ev("I", 3, ["a2", 20, "y"], t="public.conf_a"),
+        ev("U", 4, ["b1", "world", 8], t="public.conf_b"),
+        ev("U", 5, ["a1", 11, "x2"], t="public.conf_a"),
+        ev("D", 6, k=["a2", None, None], t="public.conf_a"),
+        ev("I", 7, ["b2", "zed", 1], t="public.conf_b"),
+    ]
+    write_jsonl(events, eng.opts.events_dir)
+    df = spark.read.schema(EVENT_SCHEMA).json(eng.opts.events_dir)
+    res = eng.apply_batch(df, 0)
+    assert set(res) == {"public.conf_a", "public.conf_b"}
+
+    ta = eng.engine_for("public.conf_a").table
+    tb = eng.engine_for("public.conf_b").table
+    arows = {r["id"]: r for r in ta.read().collect()}
+    brows = {r["id"]: r for r in tb.read().collect()}
+    assert set(arows) == {"a1"} and arows["a1"]["val"] == 11 and arows["a1"]["tag"] == "x2"
+    assert set(brows) == {"b1", "b2"}
+    assert brows["b1"]["val"] == "world" and brows["b1"]["n"] == 8
+    assert brows["b2"]["val"] == "zed" and brows["b2"]["n"] == 1
+    # int slot stayed int, text slot stayed text
+    assert dict(ta.read().dtypes)["val"] == "int"
+    assert dict(tb.read().dtypes)["val"] == "string"
