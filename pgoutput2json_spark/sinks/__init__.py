@@ -6,12 +6,14 @@ from pgoutput2json_spark.sinks.publish import (
     WebhookTransport,
     route_events,
 )
+from pgoutput2json_spark.sinks.resp import RedisTransport
 
 __all__ = [
     "FileTransport",
     "JsonPublisher",
     "KafkaTransport",
     "PublisherOptions",
+    "RedisTransport",
     "WebhookTransport",
     "route_events",
 ]

@@ -1,0 +1,276 @@
+"""Redis sink (K4) over a dependency-free RESP2 socket client.
+
+The reference publishes each wire-JSON message to Redis with
+StackExchange.Redis (``src/PgOutput2Json.Redis/RedisPublisher.cs:19-129``):
+
+- **Stream mode** (default): ``XADD <name> * m <json>`` — an append-only
+  Redis Stream per table/partition; resume position comes from the last
+  stream entry (``GetLastPublishedWalSeqAsync``, RedisPublisher.cs:92-129 —
+  ``XREVRANGE <stream> + - COUNT 1`` and the WAL position parsed out of the
+  stored JSON).
+- **Channel mode**: ``PUBLISH <name> <json>`` — fire-and-forget pub/sub;
+  the reference explicitly returns 0 for the resume position ("cannot do
+  de-duplication with channels").
+- **Naming** (``RedisPublisherOptions.StreamNameSuffix``): the base stream
+  name, optionally suffixed ``:schema.table`` and ``:partition`` — here the
+  routed ``topic`` (prefix + schema-qualified table, `route_events`) plays
+  the table-name role.
+
+This container has no Redis client library and no broker, but RESP2 is a
+~50-line text protocol, so the transport speaks it directly over a TCP
+socket — fully executable, and tested end-to-end against an in-process
+RESP server (``tests/test_redis_sink.py``), the same pattern as the
+webhook sink's localhost HTTP collector.
+
+Scale shape: ``publish`` runs executor-side via ``foreachPartition`` on
+the LSN-ordered ``(topic, partition)`` layout — one connection per Spark
+partition, commands pipelined in bounded windows (no per-command
+round-trip), no driver fan-in.  Delivery is at-least-once (task retry =
+resend); consumers dedupe on ``w`` exactly like the engine's D2 watermark,
+and stream mode exposes ``last_published_w`` so a restarted publisher can
+skip below the broker's high-water mark, mirroring the reference's
+``GetLastPublishedWalSeqAsync``.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+
+from pyspark.sql import DataFrame
+
+__all__ = ["RespConnection", "RedisTransport", "RespError"]
+
+
+class RespError(RuntimeError):
+    """A Redis ``-ERR`` reply (protocol-level error, not transport)."""
+
+
+def encode_command(args: tuple) -> bytes:
+    """RESP2 client command: array of bulk strings."""
+    out = [b"*%d\r\n" % len(args)]
+    for a in args:
+        b = a if isinstance(a, bytes) else str(a).encode()
+        out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+    return b"".join(out)
+
+
+def read_reply(f):
+    """Parse one RESP2 reply from a buffered binary reader.
+
+    ``-ERR`` replies come back as RespError *values* (the pipeline layer
+    decides whether one failed command fails the window) — everything else
+    maps to str / int / bytes->str / list / None."""
+    line = f.readline()
+    if not line:
+        raise ConnectionError("connection closed mid-reply")
+    kind, rest = line[:1], line[1:-2]
+    if kind == b"+":
+        return rest.decode()
+    if kind == b"-":
+        return RespError(rest.decode())
+    if kind == b":":
+        return int(rest)
+    if kind == b"$":
+        n = int(rest)
+        if n < 0:
+            return None
+        body = f.read(n + 2)
+        if len(body) != n + 2:
+            raise ConnectionError("connection closed mid-bulk")
+        return body[:-2].decode()
+    if kind == b"*":
+        n = int(rest)
+        if n < 0:
+            return None
+        return [read_reply(f) for _ in range(n)]
+    raise RespError(f"unexpected reply type {line!r}")
+
+
+class RespConnection:
+    """One TCP connection speaking RESP2, with bounded-window pipelining."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 6379,
+        timeout_sec: float = 10.0,
+        password: str | None = None,
+        db: int = 0,
+    ):
+        self.sock = socket.create_connection((host, port), timeout=timeout_sec)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._r = self.sock.makefile("rb")
+        if password is not None:
+            self.command("AUTH", password)
+        if db:
+            self.command("SELECT", db)
+
+    def command(self, *args):
+        """One command, one reply; raises on ``-ERR``."""
+        (reply,) = self.pipeline([args])
+        return reply
+
+    def pipeline(self, cmds: list) -> list:
+        """Send every command, then read every reply (one round-trip per
+        window, not per command).  The first error reply raises."""
+        self.sock.sendall(b"".join(encode_command(c) for c in cmds))
+        replies = [read_reply(self._r) for _ in cmds]
+        for rep in replies:
+            if isinstance(rep, RespError):
+                raise rep
+        return replies
+
+    def close(self) -> None:
+        try:
+            self._r.close()
+        finally:
+            self.sock.close()
+
+
+def stream_name(base: str, topic: str, partition: int, suffix: str) -> str:
+    """RedisPublisherOptions.StreamNameSuffix naming
+    (RedisPublisher.cs:28-40): ``base``, ``base:table`` or
+    ``base:table:partition``; the routed topic is the table-name role."""
+    if suffix == "table":
+        return f"{base}:{topic}"
+    if suffix == "table_partition":
+        return f"{base}:{topic}:{partition}"
+    return base
+
+
+class RedisTransport:
+    """Publish routed wire JSON to Redis Streams or pub/sub channels.
+
+    Parameters mirror ``RedisPublisherOptions``: ``publish_mode`` is
+    ``"stream"`` (XADD, default) or ``"channel"`` (PUBLISH);
+    ``name_suffix`` is ``"none"`` | ``"table"`` | ``"table_partition"``.
+    ``pipeline_size`` bounds the number of in-flight commands per
+    round-trip; ``retry_backoff`` is the webhook-style reconnect ladder
+    for transient socket failures (resend-on-retry = at-least-once)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 6379,
+        stream_name: str = "pgoutput2json",
+        publish_mode: str = "stream",
+        name_suffix: str = "none",
+        password: str | None = None,
+        db: int = 0,
+        timeout_sec: float = 10.0,
+        pipeline_size: int = 512,
+        retry_backoff: tuple = (2.0, 4.0, 8.0),
+    ):
+        if publish_mode not in ("stream", "channel"):
+            raise ValueError(f"publish_mode must be stream|channel, got {publish_mode!r}")
+        if name_suffix not in ("none", "table", "table_partition"):
+            raise ValueError(
+                "name_suffix must be none|table|table_partition, "
+                f"got {name_suffix!r}"
+            )
+        self.host, self.port = host, int(port)
+        self.stream_name = stream_name
+        self.publish_mode = publish_mode
+        self.name_suffix = name_suffix
+        self.password, self.db = password, int(db)
+        self.timeout_sec = float(timeout_sec)
+        self.pipeline_size = int(pipeline_size)
+        self.retry_backoff = tuple(retry_backoff)
+
+    def _connect(self) -> RespConnection:
+        return RespConnection(
+            self.host, self.port, self.timeout_sec, self.password, self.db
+        )
+
+    def committed_epoch(self) -> int:
+        return -1  # at-least-once; consumers dedupe on w (engine D2)
+
+    def last_published_w(self) -> int:
+        """Highest WAL position already in the broker — the reference's
+        ``GetLastPublishedWalSeqAsync`` (RedisPublisher.cs:92-129): the last
+        entry of the base stream, WAL position parsed from the stored JSON.
+        0 for an empty stream; 0 in channel mode (no replayable state).
+
+        The reference's listener is a single writer, so its last entry IS
+        the max.  Here, when several Spark partitions share one stream
+        (``name_suffix='none'`` with >1 routing partitions), their windows
+        interleave and the last entry is only a *lower bound* on the max
+        published ``w`` — still safe as a resume floor (restart republishes
+        a suffix; consumers dedupe on ``w``).  For an exact high-water mark
+        per stream, use ``name_suffix='table_partition'`` (each stream has
+        one writer, strict LSN order) or a single routing partition."""
+        if self.publish_mode == "channel":
+            return 0
+        conn = self._connect()
+        try:
+            entries = conn.command(
+                "XREVRANGE", self.stream_name, "+", "-", "COUNT", "1"
+            )
+        finally:
+            conn.close()
+        if not entries:
+            return 0
+        _id, fields = entries[-1]
+        if not fields or len(fields) < 2:
+            raise RespError("stream entry missing the message value")
+        return int(json.loads(fields[1])["w"])
+
+    def publish(self, rows: DataFrame, epoch: int) -> None:
+        from pgoutput2json_spark.sinks.publish import _ordered
+
+        host, port, timeout = self.host, self.port, self.timeout_sec
+        password, db = self.password, self.db
+        base, mode, suffix = self.stream_name, self.publish_mode, self.name_suffix
+        window, backoff = self.pipeline_size, self.retry_backoff
+
+        def send_partition(it):
+            import time as time_mod
+
+            def cmd(r):
+                name = stream_name(base, r["topic"], r["partition"], suffix)
+                if mode == "channel":
+                    return ("PUBLISH", name, r["value"])
+                return ("XADD", name, "*", "m", r["value"])
+
+            conn = None
+
+            def flush(batch):
+                nonlocal conn
+                last_err = None
+                for attempt in range(len(backoff) + 1):
+                    if attempt:
+                        time_mod.sleep(backoff[attempt - 1])
+                    try:
+                        if conn is None:
+                            conn = RespConnection(host, port, timeout, password, db)
+                        conn.pipeline(batch)
+                        return
+                    except (OSError, ConnectionError) as e:
+                        # transport failure: reconnect and resend the whole
+                        # window (at-least-once; consumer dedupes on w)
+                        last_err = e
+                        if conn is not None:
+                            try:
+                                conn.close()
+                            except OSError:
+                                pass
+                            conn = None
+                raise last_err
+
+            try:
+                batch: list = []
+                for r in it:
+                    batch.append(cmd(r))
+                    if len(batch) >= window:
+                        flush(batch)
+                        batch = []
+                if batch:
+                    flush(batch)
+            finally:
+                if conn is not None:
+                    conn.close()
+
+        _ordered(rows).select("topic", "partition", "value", "w").foreachPartition(
+            send_partition
+        )

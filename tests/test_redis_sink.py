@@ -1,0 +1,256 @@
+"""Redis sink (K4): RESP2 transport against an in-process RESP server.
+
+Mirrors the reference's RedisPublisher contract
+(src/PgOutput2Json.Redis/RedisPublisher.cs:19-129): XADD-per-message
+stream mode with the StreamNameSuffix naming scheme, PUBLISH channel
+mode, and resume position read from the last stream entry's JSON
+(GetLastPublishedWalSeqAsync).  The fake server speaks just enough RESP2
+(AUTH/SELECT/XADD/PUBLISH/XREVRANGE) — same pattern as the webhook
+tests' localhost HTTP collector."""
+
+import json
+import socketserver
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pgoutput2json_spark.sinks import JsonPublisher, PublisherOptions, RedisTransport
+from pgoutput2json_spark.sinks.publish import route_events
+from pgoutput2json_spark.sinks.resp import RespConnection, RespError, stream_name
+from pgoutput2json_spark.schema import DOCS_RELATION
+from pgoutput2json_spark.sources.events import read_events
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    write_events,
+)
+
+
+# --------------------------------------------------------------------------
+# in-process RESP2 server
+# --------------------------------------------------------------------------
+
+
+class _RespHandler(socketserver.StreamRequestHandler):
+    def _read_command(self):
+        line = self.rfile.readline()
+        if not line:
+            return None
+        assert line[:1] == b"*", line
+        n = int(line[1:-2])
+        args = []
+        for _ in range(n):
+            hdr = self.rfile.readline()
+            assert hdr[:1] == b"$", hdr
+            ln = int(hdr[1:-2])
+            args.append(self.rfile.read(ln + 2)[:-2].decode())
+        return args
+
+    def _send(self, payload: bytes):
+        self.wfile.write(payload)
+        self.wfile.flush()
+
+    def handle(self):
+        srv = self.server
+        while True:
+            cmd = self._read_command()
+            if cmd is None:
+                return
+            name = cmd[0].upper()
+            with srv.lock:
+                if srv.drop_next_data and name in ("XADD", "PUBLISH"):
+                    srv.drop_next_data = False
+                    srv.dropped += 1
+                    return  # slam the connection mid-pipeline
+                if name == "AUTH":
+                    srv.auths.append(cmd[1])
+                    self._send(b"+OK\r\n")
+                elif name == "SELECT":
+                    srv.dbs.append(int(cmd[1]))
+                    self._send(b"+OK\r\n")
+                elif name == "XADD":
+                    key, _star, field, value = cmd[1], cmd[2], cmd[3], cmd[4]
+                    entries = srv.streams.setdefault(key, [])
+                    eid = f"{len(entries) + 1}-0"
+                    entries.append((eid, [field, value]))
+                    self._send(b"$%d\r\n%s\r\n" % (len(eid), eid.encode()))
+                elif name == "PUBLISH":
+                    srv.channels.setdefault(cmd[1], []).append(cmd[2])
+                    self._send(b":0\r\n")
+                elif name == "XREVRANGE":
+                    entries = srv.streams.get(cmd[1], [])
+                    out = entries[-1:] if entries else []
+                    buf = [b"*%d\r\n" % len(out)]
+                    for eid, fields in out:
+                        buf.append(b"*2\r\n")
+                        buf.append(b"$%d\r\n%s\r\n" % (len(eid), eid.encode()))
+                        buf.append(b"*%d\r\n" % len(fields))
+                        for f in fields:
+                            fb = f.encode()
+                            buf.append(b"$%d\r\n%s\r\n" % (len(fb), fb))
+                    self._send(b"".join(buf))
+                elif name == "PING":
+                    self._send(b"+PONG\r\n")
+                else:
+                    self._send(b"-ERR unknown command '%s'\r\n" % name.encode())
+
+
+class _RespServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _RespHandler)
+        self.lock = threading.RLock()
+        self.streams: dict = {}
+        self.channels: dict = {}
+        self.auths: list = []
+        self.dbs: list = []
+        self.drop_next_data = False
+        self.dropped = 0
+
+
+@pytest.fixture()
+def resp_server():
+    srv = _RespServer()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("rediswal")
+    spec = GeneratorSpec(n_events=2_000, n_keys=200, seed=11, snapshot_keys=80)
+    write_events(generate_events(spark, spec), f"{root}/events", "jsonl", 4)
+    return str(root)
+
+
+def _publish(spark, wal, tmp_path, transport, n_partitions=4):
+    pub = JsonPublisher(
+        spark,
+        PublisherOptions(
+            events_dir=f"{wal}/events",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n_partitions=n_partitions,
+        ),
+        transport,
+    )
+    pub.run_until_drained()
+    assert pub.published_epochs
+    return pub
+
+
+def test_stream_mode_per_partition_streams_ordered(spark, wal, tmp_path, resp_server):
+    port = resp_server.server_address[1]
+    _publish(
+        spark,
+        wal,
+        tmp_path,
+        RedisTransport("127.0.0.1", port, name_suffix="table_partition"),
+    )
+
+    ev = read_events(spark, f"{wal}/events", "jsonl")
+    routed = route_events(ev, [(-1, DOCS_RELATION)], "cdc.", 4)
+    want = {
+        (r["topic"], r["partition"], r["value"])
+        for r in routed.select("topic", "partition", "value").collect()
+    }
+
+    got = set()
+    for key, entries in resp_server.streams.items():
+        base, topic, part = key.rsplit(":", 2) if key.count(":") >= 2 else (None,) * 3
+        assert key.startswith("pgoutput2json:cdc.public.docs:")
+        part = int(key.rsplit(":", 1)[1])
+        ws = []
+        for _eid, (field, value) in entries:
+            assert field == "m"
+            got.add(("cdc.public.docs", part, value))
+            ws.append(json.loads(value)["w"])
+        # the reference guarantee: WAL order within each stream
+        assert ws == sorted(ws), f"stream {key} out of LSN order"
+    assert got == want
+
+
+def test_channel_mode_publishes_to_base_name(spark, wal, tmp_path, resp_server):
+    port = resp_server.server_address[1]
+    _publish(
+        spark,
+        wal,
+        tmp_path,
+        RedisTransport("127.0.0.1", port, publish_mode="channel"),
+    )
+    assert set(resp_server.channels) == {"pgoutput2json"}
+    n_events = read_events(spark, f"{wal}/events", "jsonl").count()
+    assert len(resp_server.channels["pgoutput2json"]) == n_events
+    assert not resp_server.streams  # channel mode never XADDs
+
+
+def test_last_published_w_reads_broker_high_water(spark, wal, tmp_path, resp_server):
+    port = resp_server.server_address[1]
+    tr = RedisTransport("127.0.0.1", port)  # suffix none -> one base stream
+    assert tr.last_published_w() == 0  # empty stream
+    # single routing partition = the reference's single-writer shape, where
+    # the stream's last entry IS the max published w (multi-producer streams
+    # only guarantee a lower bound — see RedisTransport.last_published_w)
+    _publish(spark, wal, tmp_path, tr, n_partitions=1)
+    max_w = (
+        read_events(spark, f"{wal}/events", "jsonl").agg(F.max("w")).first()[0]
+    )
+    assert tr.last_published_w() == max_w
+    # channel mode: no replayable state (RedisPublisher.cs:94)
+    assert (
+        RedisTransport("127.0.0.1", port, publish_mode="channel").last_published_w()
+        == 0
+    )
+
+
+def test_auth_and_select_are_sent(resp_server):
+    port = resp_server.server_address[1]
+    conn = RespConnection("127.0.0.1", port, password="hunter2", db=3)
+    conn.close()
+    assert resp_server.auths == ["hunter2"]
+    assert resp_server.dbs == [3]
+
+
+def test_error_reply_raises(resp_server):
+    port = resp_server.server_address[1]
+    conn = RespConnection("127.0.0.1", port)
+    try:
+        with pytest.raises(RespError, match="unknown command"):
+            conn.command("NOSUCH")
+    finally:
+        conn.close()
+
+
+def test_retry_ladder_survives_dropped_connection(spark, wal, tmp_path, resp_server):
+    port = resp_server.server_address[1]
+    resp_server.drop_next_data = True  # first XADD window loses its socket
+    _publish(
+        spark,
+        wal,
+        tmp_path,
+        RedisTransport("127.0.0.1", port, retry_backoff=(0.05, 0.1)),
+    )
+    assert resp_server.dropped == 1
+    # every event still lands (resend-on-retry; duplicates possible by
+    # design — at-least-once — but the fake drops before storing anything)
+    total = sum(len(v) for v in resp_server.streams.values())
+    assert total == read_events(spark, f"{wal}/events", "jsonl").count()
+
+
+def test_stream_name_suffix_modes():
+    assert stream_name("s", "cdc.public.docs", 2, "none") == "s"
+    assert stream_name("s", "cdc.public.docs", 2, "table") == "s:cdc.public.docs"
+    assert (
+        stream_name("s", "cdc.public.docs", 2, "table_partition")
+        == "s:cdc.public.docs:2"
+    )
+    with pytest.raises(ValueError):
+        RedisTransport("h", publish_mode="bogus")
+    with pytest.raises(ValueError):
+        RedisTransport("h", name_suffix="bogus")
