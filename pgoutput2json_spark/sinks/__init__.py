@@ -6,13 +6,19 @@ from pgoutput2json_spark.sinks.publish import (
     WebhookTransport,
     route_events,
 )
+from pgoutput2json_spark.sinks.amqp import RabbitMqTransport
+from pgoutput2json_spark.sinks.eventhubs import EventHubsTransport
+from pgoutput2json_spark.sinks.kinesis import KinesisTransport
 from pgoutput2json_spark.sinks.resp import RedisTransport
 
 __all__ = [
+    "EventHubsTransport",
     "FileTransport",
     "JsonPublisher",
     "KafkaTransport",
+    "KinesisTransport",
     "PublisherOptions",
+    "RabbitMqTransport",
     "RedisTransport",
     "WebhookTransport",
     "route_events",

@@ -1,0 +1,272 @@
+"""Kinesis sink (K5) over the public PutRecords HTTP API with a
+dependency-free SigV4 signer.
+
+The reference buffers one ``PutRecordsRequestEntry`` per wire-JSON message
+and flushes the buffer as a single ``PutRecords`` call on confirm
+(``src/PgOutput2Json.Kinesis/KinesisPublisher.cs:35-71``):
+
+- **PartitionKey** = table name + key-column value, truncated to 256 chars
+  (KinesisPublisher.cs:37-42) — here the routed ``topic`` plays the
+  table-name role and ``key`` the key-column-value role, so records for
+  one PG key always land on one Kinesis shard, preserving per-key LSN
+  order end-to-end.
+- **Data** = the wire JSON, UTF-8 (base64 on the JSON API wire).
+- **Partial failure**: the reference throws when ``FailedRecordCount > 0``
+  and relies on the listener re-publishing the batch.  Here the failed
+  *subset* is retried with the webhook-style backoff ladder (resending
+  only entries the service rejected — the AWS-documented pattern for
+  throughput-exceeded errors); exhausted retries fail the Spark task,
+  which re-runs the partition.  Either way delivery is at-least-once and
+  consumers dedupe on ``w``.
+- **Resume**: ``GetLastPublishedWalSeqAsync`` returns 0 in the reference
+  (KinesisPublisher.cs:73-76) — Kinesis exposes no cheap "last record"
+  probe — so ``last_published_w`` is 0 here too and restart republishes
+  from the engine watermark.
+
+The AWS SDK is not in this container, but ``PutRecords`` is one signed
+HTTPS POST: ``Kinesis_20131202.PutRecords`` over ``x-amz-json-1.1`` with
+an AWS Signature Version 4 ``Authorization`` header — both publicly
+specified — so the transport signs with hashlib/hmac and posts with
+urllib.  Tested end-to-end against an in-process HTTP server that
+*recomputes* the SigV4 signature from the known secret
+(``tests/test_kinesis_sink.py``), the same localhost-collector pattern as
+the webhook and Redis sinks.
+
+Scale shape: executor-side ``foreachPartition`` on the LSN-ordered
+``(topic, partition)`` layout; requests are bounded by the service limits
+(500 records / 5 MiB per PutRecords, 1 MiB per record) so an epoch-sized
+group never materializes as one body; no driver fan-in.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import hashlib
+import hmac
+import json
+import urllib.parse
+import urllib.request
+
+from pyspark.sql import DataFrame
+
+__all__ = ["KinesisTransport", "sign_v4", "KinesisError"]
+
+#: public PutRecords service limits (request shaping, not policy)
+MAX_RECORDS_PER_REQUEST = 500
+MAX_REQUEST_BYTES = 5 * 1024 * 1024
+MAX_RECORD_BYTES = 1024 * 1024
+PARTITION_KEY_MAX = 256
+
+
+class KinesisError(RuntimeError):
+    """A non-2xx PutRecords response or an exhausted partial-failure retry."""
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sign_v4(
+    method: str,
+    url: str,
+    headers: dict,
+    payload: bytes,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str,
+    amzdate: str,
+) -> dict:
+    """Return ``headers`` + SigV4 ``Authorization`` (+ ``x-amz-date``).
+
+    Straight implementation of the published AWS Signature Version 4
+    process (canonical request -> string-to-sign -> derived signing key).
+    ``amzdate`` is ``YYYYMMDDTHHMMSSZ``; the caller supplies it so tests
+    can recompute the exact signature.
+    """
+    parsed = urllib.parse.urlsplit(url)
+    datestamp = amzdate[:8]
+    all_headers = dict(headers)
+    all_headers["host"] = parsed.netloc
+    all_headers["x-amz-date"] = amzdate
+    lower = {k.lower(): str(v).strip() for k, v in all_headers.items()}
+    signed_names = sorted(lower)
+    canonical_headers = "".join(f"{k}:{lower[k]}\n" for k in signed_names)
+    signed_headers = ";".join(signed_names)
+    canonical_request = "\n".join(
+        [
+            method,
+            urllib.parse.quote(parsed.path or "/", safe="/"),
+            parsed.query,  # PutRecords posts have no query string
+            canonical_headers,
+            signed_headers,
+            hashlib.sha256(payload).hexdigest(),
+        ]
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amzdate,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+    k = _hmac(f"AWS4{secret_key}".encode(), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    out = dict(headers)
+    out["x-amz-date"] = amzdate
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_headers}, Signature={signature}"
+    )
+    return out
+
+
+def _put_records(
+    endpoint: str,
+    stream: str,
+    entries: list,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    timeout: float,
+    backoff: tuple,
+) -> None:
+    """One PutRecords call + partial-failure retries on the failed subset."""
+    import time as time_mod
+
+    pending = entries
+    last_err: Exception | None = None
+    for attempt in range(len(backoff) + 1):
+        if attempt:
+            time_mod.sleep(backoff[attempt - 1])
+        body = json.dumps(
+            {
+                "StreamName": stream,
+                "Records": [
+                    {"Data": data_b64, "PartitionKey": pk}
+                    for pk, data_b64 in pending
+                ],
+            }
+        ).encode()
+        amzdate = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ"
+        )
+        headers = sign_v4(
+            "POST",
+            endpoint,
+            {
+                "content-type": "application/x-amz-json-1.1",
+                "x-amz-target": "Kinesis_20131202.PutRecords",
+            },
+            body,
+            access_key,
+            secret_key,
+            region,
+            "kinesis",
+            amzdate,
+        )
+        req = urllib.request.Request(endpoint, data=body, headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                reply = json.loads(resp.read().decode())
+        except Exception as e:  # noqa: BLE001 — transport failure: retry all
+            last_err = e
+            continue
+        failed = int(reply.get("FailedRecordCount") or 0)
+        if failed == 0:
+            return
+        # retry ONLY the rejected entries (ErrorCode set per record)
+        records = reply.get("Records", [])
+        pending = [
+            pending[i]
+            for i in range(len(pending))
+            if i < len(records) and records[i].get("ErrorCode")
+        ] or pending
+        last_err = KinesisError(
+            f"{failed} records failed to publish to Kinesis "
+            f"({records[0].get('ErrorCode') if records else 'unknown'})"
+        )
+    raise last_err if last_err is not None else KinesisError("unreachable")
+
+
+class KinesisTransport:
+    """Publish routed wire JSON via the Kinesis ``PutRecords`` HTTP API.
+
+    ``stream_name`` mirrors ``KinesisPublisherOptions.StreamName`` (default
+    ``pgoutput2json``).  ``endpoint_url`` overrides the derived
+    ``https://kinesis.{region}.amazonaws.com`` (tests point it at a
+    localhost collector; LocalStack-style endpoints work the same way).
+    """
+
+    def __init__(
+        self,
+        stream_name: str = "pgoutput2json",
+        region: str = "us-east-1",
+        access_key: str = "",
+        secret_key: str = "",
+        endpoint_url: str | None = None,
+        timeout_sec: float = 10.0,
+        retry_backoff: tuple = (2.0, 4.0, 8.0),
+        max_records_per_request: int = MAX_RECORDS_PER_REQUEST,
+        max_request_bytes: int = MAX_REQUEST_BYTES,
+    ):
+        self.stream_name = stream_name
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.endpoint_url = endpoint_url or f"https://kinesis.{region}.amazonaws.com/"
+        self.timeout_sec = float(timeout_sec)
+        self.retry_backoff = tuple(retry_backoff)
+        self.max_records_per_request = min(
+            int(max_records_per_request), MAX_RECORDS_PER_REQUEST
+        )
+        self.max_request_bytes = min(int(max_request_bytes), MAX_REQUEST_BYTES)
+
+    def committed_epoch(self) -> int:
+        return -1  # at-least-once; consumers dedupe on w (engine D2)
+
+    def last_published_w(self) -> int:
+        return 0  # reference parity: KinesisPublisher.cs:73-76 returns 0
+
+    def publish(self, rows: DataFrame, epoch: int) -> None:
+        from pgoutput2json_spark.sinks.publish import _ordered
+
+        endpoint, stream = self.endpoint_url, self.stream_name
+        ak, sk, region = self.access_key, self.secret_key, self.region
+        timeout, backoff = self.timeout_sec, self.retry_backoff
+        max_n, max_bytes = self.max_records_per_request, self.max_request_bytes
+
+        def send_partition(it):
+            batch: list = []
+            nbytes = 0
+            for r in it:
+                pk = (r["topic"] + (r["key"] or ""))[:PARTITION_KEY_MAX]
+                raw = r["value"].encode()
+                if len(raw) > MAX_RECORD_BYTES:
+                    raise KinesisError(
+                        f"record of {len(raw)} bytes exceeds the 1 MiB "
+                        "Kinesis record limit"
+                    )
+                data_b64 = base64.b64encode(raw).decode()
+                sz = len(data_b64) + len(pk) + 64  # request-JSON overhead
+                if batch and (len(batch) >= max_n or nbytes + sz > max_bytes):
+                    _put_records(
+                        endpoint, stream, batch, ak, sk, region, timeout, backoff
+                    )
+                    batch, nbytes = [], 0
+                batch.append((pk, data_b64))
+                nbytes += sz
+            if batch:
+                _put_records(
+                    endpoint, stream, batch, ak, sk, region, timeout, backoff
+                )
+
+        _ordered(rows).select("topic", "partition", "key", "value", "w").foreachPartition(
+            send_partition
+        )

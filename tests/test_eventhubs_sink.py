@@ -1,0 +1,171 @@
+"""Event Hubs sink (K6): REST batch-send transport against an in-process
+collector that RECOMPUTES the SAS signature from the known key.
+
+Mirrors the reference's EventHubsPublisher contract
+(src/PgOutput2Json.AzureEventHubs/EventHubsPubslisher.cs:35-140):
+partition-key grouping by table, MessageId = table+key, UserProperties
+table/keyValue/walOffset, size-bounded batches, too-large event raises."""
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pgoutput2json_spark.schema import DOCS_RELATION
+from pgoutput2json_spark.sinks import EventHubsTransport, JsonPublisher, PublisherOptions
+from pgoutput2json_spark.sinks.eventhubs import sas_token
+from pgoutput2json_spark.sinks.publish import route_events
+from pgoutput2json_spark.sources.events import read_events
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    write_events,
+)
+
+KEY_NAME, KEY = "send-policy", "dGVzdC1ldmVudGh1Yi1rZXk="
+
+
+class _EhHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        srv = self.server
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        auth = self.headers["Authorization"] or ""
+        # parse se/skn/sr out of the token and recompute sig with the key
+        fields = dict(
+            kv.split("=", 1)
+            for kv in auth.replace("SharedAccessSignature ", "").split("&")
+        )
+        sr = urllib.parse.unquote(fields["sr"])
+        expect = sas_token(sr, fields["skn"], KEY, int(fields["se"]))
+        with srv.lock:
+            srv.requests.append(
+                {
+                    "path": self.path,
+                    "content_type": self.headers["Content-Type"],
+                    "auth_ok": auth == expect and fields["skn"] == KEY_NAME,
+                    "entries": json.loads(body),
+                    "bytes": len(body),
+                }
+            )
+            fail = srv.fail_next
+            srv.fail_next = False
+        self.send_response(500 if fail else 201)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+@pytest.fixture()
+def eh_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _EhHandler)
+    srv.lock = threading.RLock()
+    srv.requests = []
+    srv.fail_next = False
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ehwal")
+    spec = GeneratorSpec(n_events=2_000, n_keys=200, seed=23, snapshot_keys=80)
+    write_events(generate_events(spark, spec), f"{root}/events", "jsonl", 4)
+    return str(root)
+
+
+def _transport(srv, **kw):
+    port = srv.server_address[1]
+    return EventHubsTransport(
+        namespace_url=f"http://127.0.0.1:{port}",
+        event_hub="cdc-hub",
+        key_name=KEY_NAME,
+        key=KEY,
+        retry_backoff=kw.pop("retry_backoff", (0.05, 0.1)),
+        **kw,
+    )
+
+
+def _publish(spark, wal, tmp_path, transport):
+    pub = JsonPublisher(
+        spark,
+        PublisherOptions(
+            events_dir=f"{wal}/events",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n_partitions=4,
+        ),
+        transport,
+    )
+    pub.run_until_drained()
+    assert pub.published_epochs
+    return pub
+
+
+def test_batches_signed_grouped_and_complete(spark, wal, tmp_path, eh_server):
+    _publish(spark, wal, tmp_path, _transport(eh_server))
+
+    got = []
+    for req in eh_server.requests:
+        assert req["auth_ok"], "SAS signature did not verify"
+        assert req["path"].startswith("/cdc-hub/messages")
+        assert req["content_type"] == "application/vnd.microsoft.servicebus.json"
+        pks = {e["BrokerProperties"]["PartitionKey"] for e in req["entries"]}
+        assert len(pks) == 1, "a batch must carry exactly one PartitionKey"
+        got.extend(req["entries"])
+
+    ev = read_events(spark, f"{wal}/events", "jsonl")
+    routed = route_events(ev, [(-1, DOCS_RELATION)], "cdc.", 4)
+    want = {
+        (r["topic"], r["topic"] + (r["key"] or ""), r["key"] or "", r["w"], r["value"])
+        for r in routed.select("topic", "key", "w", "value").collect()
+    }
+    have = {
+        (
+            e["BrokerProperties"]["PartitionKey"],
+            e["BrokerProperties"]["MessageId"],
+            e["UserProperties"]["keyValue"],
+            e["UserProperties"]["walOffset"],
+            e["Body"],
+        )
+        for e in got
+    }
+    assert have == want
+    for e in got:  # reference property parity (EventHubsPubslisher.cs:44-46)
+        assert e["UserProperties"]["table"] == e["BrokerProperties"]["PartitionKey"]
+
+
+def test_batch_size_bound_splits_requests(spark, wal, tmp_path, eh_server):
+    _publish(spark, wal, tmp_path, _transport(eh_server, max_batch_bytes=8 * 1024))
+    n_events = read_events(spark, f"{wal}/events", "jsonl").count()
+    assert sum(len(r["entries"]) for r in eh_server.requests) == n_events
+    assert len(eh_server.requests) > 4  # actually split
+    assert max(r["bytes"] for r in eh_server.requests) <= 9 * 1024
+
+
+def test_retry_ladder_survives_500(spark, wal, tmp_path, eh_server):
+    eh_server.fail_next = True
+    _publish(spark, wal, tmp_path, _transport(eh_server))
+    n_events = read_events(spark, f"{wal}/events", "jsonl").count()
+    ok_entries = sum(len(r["entries"]) for r in eh_server.requests)
+    # the failed batch is resent whole: total entries = events + one batch
+    assert ok_entries > n_events
+
+
+def test_resume_floor_is_zero():
+    tr = EventHubsTransport("https://ns.example", "hub", key=KEY)
+    assert tr.last_published_w() == 0
+    assert tr.committed_epoch() == -1
+
+
+def test_sas_token_is_deterministic():
+    t1 = sas_token("https://ns.example/hub", "p", KEY, 1700000000)
+    t2 = sas_token("https://NS.example/hub", "p", KEY, 1700000000)
+    assert t1 == t2  # resource is lowercased before signing
+    assert t1.startswith("SharedAccessSignature sr=")
+    assert "&se=1700000000&skn=p" in t1

@@ -1,0 +1,327 @@
+"""RabbitMQ sink (K3): AMQP 0-9-1 transport against an in-process broker
+that speaks the server side of the publish path (connection.start/tune/
+open, channel.open, confirm.select, basic.publish + content frames,
+basic.ack with and without the ``multiple`` flag).
+
+Mirrors the reference's RabbitMqPublisher contract
+(src/PgOutput2Json.RabbitMq/RabbitMqPublisher.cs:22-73): routing key =
+``table.partition``, Type property = table name, per-table persistence
+with a global default, publisher confirms awaited per window."""
+
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from pgoutput2json_spark.schema import DOCS_RELATION
+from pgoutput2json_spark.sinks import JsonPublisher, PublisherOptions, RabbitMqTransport
+from pgoutput2json_spark.sinks.amqp import (
+    AmqpConnection,
+    AmqpError,
+    FRAME_BODY,
+    FRAME_END,
+    FRAME_HEADER,
+    FRAME_METHOD,
+    field_table,
+    longstr,
+    parse_field_table,
+    shortstr,
+)
+from pgoutput2json_spark.sinks.publish import route_events
+from pgoutput2json_spark.sources.events import read_events
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    write_events,
+)
+
+
+# --------------------------------------------------------------------------
+# in-process AMQP 0-9-1 broker (publish path only)
+# --------------------------------------------------------------------------
+
+
+class _AmqpHandler(socketserver.StreamRequestHandler):
+    def _send_frame(self, ftype, channel, payload):
+        self.wfile.write(
+            struct.pack(">BHI", ftype, channel, len(payload))
+            + payload
+            + bytes([FRAME_END])
+        )
+        self.wfile.flush()
+
+    def _send_method(self, channel, cls, mth, args=b""):
+        self._send_frame(FRAME_METHOD, channel, struct.pack(">HH", cls, mth) + args)
+
+    def _read_frame(self):
+        hdr = self.rfile.read(7)
+        if len(hdr) != 7:
+            return None
+        ftype, channel, size = struct.unpack(">BHI", hdr)
+        payload = self.rfile.read(size)
+        assert self.rfile.read(1) == bytes([FRAME_END])
+        return ftype, channel, payload
+
+    def handle(self):
+        srv = self.server
+        if self.rfile.read(8) != b"AMQP\x00\x00\x09\x01":
+            return
+        # connection.start: version 0.9, empty server-properties,
+        # mechanisms PLAIN, locales en_US
+        self._send_method(
+            0,
+            10,
+            10,
+            bytes([0, 9]) + field_table({}) + longstr(b"PLAIN") + longstr(b"en_US"),
+        )
+        f = self._read_frame()  # start-ok
+        args = f[2][4:]
+        (tbl_len,) = struct.unpack_from(">I", args)
+        client_props = parse_field_table(args[4 : 4 + tbl_len])
+        i = 4 + tbl_len
+        mech_len = args[i]
+        i += 1 + mech_len
+        (sasl_len,) = struct.unpack_from(">I", args, i)
+        sasl = args[i + 4 : i + 4 + sasl_len]
+        _, user, password = sasl.split(b"\x00")
+        with srv.lock:
+            srv.logins.append((user.decode(), password.decode(), client_props))
+        # tune(channel-max=0, frame-max=4096 to force body chunking, hb=0)
+        self._send_method(0, 10, 30, struct.pack(">HIH", 0, 4096, 0))
+        self._read_frame()  # tune-ok
+        f = self._read_frame()  # connection.open(vhost)
+        vhost_len = f[2][4]
+        with srv.lock:
+            srv.vhosts.append(f[2][5 : 5 + vhost_len].decode())
+        self._send_method(0, 10, 41, shortstr(""))  # open-ok
+        self._read_frame()  # channel.open
+        self._send_method(1, 20, 11, longstr(b""))  # open-ok
+        self._read_frame()  # confirm.select
+        self._send_method(1, 85, 11)  # select-ok
+
+        tag = 0
+        pending = None  # (exchange, rkey, props, body_size, chunks)
+        unacked = []
+        while True:
+            f = self._read_frame()
+            if f is None:
+                return
+            ftype, _ch, payload = f
+            if ftype == FRAME_METHOD:
+                cls, mth = struct.unpack_from(">HH", payload)
+                args = payload[4:]
+                if (cls, mth) == (60, 40):  # basic.publish
+                    i = 2
+                    xlen = args[i]
+                    exchange = args[i + 1 : i + 1 + xlen].decode()
+                    i += 1 + xlen
+                    rlen = args[i]
+                    rkey = args[i + 1 : i + 1 + rlen].decode()
+                    pending = [exchange, rkey, None, None, b""]
+                elif (cls, mth) == (20, 40):  # channel.close
+                    self._send_method(1, 20, 41)
+                elif (cls, mth) == (10, 50):  # connection.close
+                    self._send_method(0, 10, 51)
+                    return
+            elif ftype == FRAME_HEADER:
+                _cls, _w, size, flags = struct.unpack_from(">HHQH", payload)
+                i = 14
+                props = {}
+                if flags & (1 << 15):  # content-type
+                    n = payload[i]
+                    props["content_type"] = payload[i + 1 : i + 1 + n].decode()
+                    i += 1 + n
+                if flags & (1 << 12):  # delivery-mode
+                    props["delivery_mode"] = payload[i]
+                    i += 1
+                if flags & (1 << 5):  # type
+                    n = payload[i]
+                    props["type"] = payload[i + 1 : i + 1 + n].decode()
+                    i += 1 + n
+                pending[2], pending[3] = props, size
+                if size == 0:
+                    self._finish(srv, pending, unacked)
+                    tag += 1
+                    pending = self._ack(srv, tag, unacked)
+            elif ftype == FRAME_BODY:
+                pending[4] += payload
+                if len(pending[4]) >= pending[3]:
+                    self._finish(srv, pending, unacked)
+                    tag += 1
+                    pending = self._ack(srv, tag, unacked)
+
+    def _finish(self, srv, pending, unacked):
+        exchange, rkey, props, _size, body = pending
+        with srv.lock:
+            if srv.drop_next_publish:
+                srv.drop_next_publish = False
+                srv.dropped += 1
+                raise ConnectionError("injected drop")
+            srv.messages.append(
+                {
+                    "exchange": exchange,
+                    "routing_key": rkey,
+                    "props": props,
+                    "body": body.decode(),
+                }
+            )
+
+    def _ack(self, srv, tag, unacked):
+        """Ack policy: every 10th tag acks the whole backlog with
+        multiple=1 (exercises both basic.ack shapes)."""
+        unacked.append(tag)
+        if tag % 10 == 0:
+            self._send_method(1, 60, 80, struct.pack(">QB", tag, 1))
+            unacked.clear()
+        else:
+            self._send_method(1, 60, 80, struct.pack(">QB", tag, 0))
+            unacked.clear()
+        return None
+
+
+class _AmqpServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _AmqpHandler)
+        self.lock = threading.RLock()
+        self.messages: list = []
+        self.logins: list = []
+        self.vhosts: list = []
+        self.drop_next_publish = False
+        self.dropped = 0
+
+
+@pytest.fixture()
+def amqp_server():
+    srv = _AmqpServer()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("amqpwal")
+    spec = GeneratorSpec(n_events=2_000, n_keys=200, seed=29, snapshot_keys=80)
+    write_events(generate_events(spark, spec), f"{root}/events", "jsonl", 4)
+    return str(root)
+
+
+def _publish(spark, wal, tmp_path, transport):
+    pub = JsonPublisher(
+        spark,
+        PublisherOptions(
+            events_dir=f"{wal}/events",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n_partitions=4,
+        ),
+        transport,
+    )
+    pub.run_until_drained()
+    assert pub.published_epochs
+    return pub
+
+
+def test_publish_routing_key_type_and_confirms(spark, wal, tmp_path, amqp_server):
+    port = amqp_server.server_address[1]
+    _publish(
+        spark,
+        wal,
+        tmp_path,
+        RabbitMqTransport("127.0.0.1", port, vhost="/cdc", retry_backoff=(0.05,)),
+    )
+
+    ev = read_events(spark, f"{wal}/events", "jsonl")
+    routed = route_events(ev, [(-1, DOCS_RELATION)], "cdc.", 4)
+    want = {
+        (f"{r['topic']}.{r['partition']}", r["value"])
+        for r in routed.select("topic", "partition", "value").collect()
+    }
+    got = set()
+    for m in amqp_server.messages:
+        assert m["exchange"] == "pgoutput2json"
+        # reference: BasicProperties.Type = table name, Persistent default
+        assert m["props"]["type"] == "cdc.public.docs"
+        assert m["props"]["delivery_mode"] == 2
+        assert m["props"]["content_type"] == "application/json"
+        got.add((m["routing_key"], m["body"]))
+    assert got == want
+    assert set(amqp_server.vhosts) == {"/cdc"}
+    assert all(u == "guest" and p == "guest" for u, p, _ in amqp_server.logins)
+
+
+def test_per_topic_persistence_override(spark, wal, tmp_path, amqp_server):
+    port = amqp_server.server_address[1]
+    _publish(
+        spark,
+        wal,
+        tmp_path,
+        RabbitMqTransport(
+            "127.0.0.1",
+            port,
+            persistent_default=True,
+            persistent_by_topic={"cdc.public.docs": False},
+            retry_backoff=(0.05,),
+        ),
+    )
+    assert amqp_server.messages
+    assert all(m["props"]["delivery_mode"] == 1 for m in amqp_server.messages)
+
+
+def test_retry_ladder_resends_dropped_window(spark, wal, tmp_path, amqp_server):
+    port = amqp_server.server_address[1]
+    amqp_server.drop_next_publish = True
+    _publish(
+        spark,
+        wal,
+        tmp_path,
+        RabbitMqTransport("127.0.0.1", port, confirm_window=64, retry_backoff=(0.05, 0.1)),
+    )
+    assert amqp_server.dropped == 1
+    n_events = read_events(spark, f"{wal}/events", "jsonl").count()
+    # the dropped window is resent whole: at-least-once, no loss
+    assert len(amqp_server.messages) >= n_events
+    bodies = {(m["routing_key"], m["body"]) for m in amqp_server.messages}
+    ev = read_events(spark, f"{wal}/events", "jsonl")
+    routed = route_events(ev, [(-1, DOCS_RELATION)], "cdc.", 4)
+    want = {
+        (f"{r['topic']}.{r['partition']}", r["value"])
+        for r in routed.select("topic", "partition", "value").collect()
+    }
+    assert bodies == want
+
+
+def test_large_body_is_chunked_by_frame_max(amqp_server):
+    # server tunes frame-max down to 4096: a 10 KiB body must arrive via
+    # multiple body frames and still reassemble byte-identically
+    port = amqp_server.server_address[1]
+    conn = AmqpConnection("127.0.0.1", port)
+    big = "x" * 10_240
+    conn.publish("pgoutput2json", "t.0", big.encode(), type_header="t")
+    conn.wait_confirms()
+    conn.close()
+    assert amqp_server.messages[-1]["body"] == big
+    assert conn.frame_max == 4096
+
+
+def test_resume_floor_is_zero():
+    tr = RabbitMqTransport("localhost")
+    assert tr.last_published_w() == 0
+    assert tr.committed_epoch() == -1
+
+
+def test_field_table_roundtrip():
+    d = {"product": "pgoutput2json_spark", "platform": "python"}
+    enc = field_table(d)
+    (n,) = struct.unpack_from(">I", enc)
+    assert parse_field_table(enc[4 : 4 + n]) == d
+
+
+def test_shortstr_overflow_raises():
+    with pytest.raises(AmqpError):
+        shortstr("x" * 256)
