@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
     pub.add_argument("--out-dir", default=None, help="file transport root")
     pub.add_argument("--webhook-url", default=None)
     pub.add_argument("--kafka-servers", default=None)
+    pub.add_argument("--kafka-wire", default=None, metavar="HOST[:PORT]",
+                     help="dependency-free wire-protocol Kafka producer "
+                          "(no jar needed; default port 9092)")
+    pub.add_argument("--redis", default=None, metavar="HOST[:PORT]",
+                     help="dependency-free RESP2 Redis stream sink "
+                          "(default port 6379)")
     pub.add_argument("--max-files-per-trigger", type=int, default=None)
 
     mt = sub.add_parser("multi-replay", help="publication-level ingest: one "
@@ -170,12 +176,23 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.kafka_servers:
             transport = KafkaTransport(args.kafka_servers)
+        elif args.kafka_wire:
+            from pgoutput2json_spark.sinks import KafkaWireTransport
+
+            host, _, port = args.kafka_wire.partition(":")
+            transport = KafkaWireTransport(host, int(port or 9092))
+        elif args.redis:
+            from pgoutput2json_spark.sinks import RedisTransport
+
+            host, _, port = args.redis.partition(":")
+            transport = RedisTransport(host, int(port or 6379))
         elif args.webhook_url:
             transport = WebhookTransport(args.webhook_url)
         elif args.out_dir:
             transport = FileTransport(args.out_dir)
         else:
-            p.error("publish needs --out-dir, --webhook-url or --kafka-servers")
+            p.error("publish needs --out-dir, --webhook-url, --kafka-servers, "
+                    "--kafka-wire or --redis")
         pub_engine = JsonPublisher(
             spark,
             PublisherOptions(

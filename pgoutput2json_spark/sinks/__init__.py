@@ -8,6 +8,7 @@ from pgoutput2json_spark.sinks.publish import (
 )
 from pgoutput2json_spark.sinks.amqp import RabbitMqTransport
 from pgoutput2json_spark.sinks.eventhubs import EventHubsTransport
+from pgoutput2json_spark.sinks.kafka_wire import KafkaWireTransport
 from pgoutput2json_spark.sinks.kinesis import KinesisTransport
 from pgoutput2json_spark.sinks.resp import RedisTransport
 
@@ -16,6 +17,7 @@ __all__ = [
     "FileTransport",
     "JsonPublisher",
     "KafkaTransport",
+    "KafkaWireTransport",
     "KinesisTransport",
     "PublisherOptions",
     "RabbitMqTransport",
