@@ -198,9 +198,19 @@ def main() -> None:
     # no epoch should fall below ~0.6x the steady-state (median) epoch
     # throughput.  The first epoch (CoW bootstrap of the whole keyspace) is
     # a different workload, so steady state is measured over the rest.
-    steady = sorted(e["events_per_sec"] for e in applied[1:]) or [0]
+    # Epochs that receive almost no events (the file source's LSN-range
+    # slicing leaves a few near-empty triggers right after the bootstrap
+    # segment boundary) measure fixed per-epoch latency, not a stall —
+    # events/s on 10k events is meaningless — so the stall criterion runs
+    # over FULL epochs (n_events >= 50% of the median epoch's events); the
+    # near-empty ones are counted separately for auditability.
+    post = applied[1:]
+    ev_sizes = sorted(e["n_events"] for e in post) or [0]
+    median_n = ev_sizes[len(ev_sizes) // 2]
+    full = [e for e in post if e["n_events"] >= 0.5 * median_n]
+    steady = sorted(e["events_per_sec"] for e in full) or [0]
     median_eps = steady[len(steady) // 2]
-    worst = min(applied[1:], key=lambda e: e["events_per_sec"], default=None)
+    worst = min(full, key=lambda e: e["events_per_sec"], default=None)
     min_ratio = (
         round(worst["events_per_sec"] / median_eps, 3)
         if worst and median_eps else None
@@ -279,6 +289,9 @@ def main() -> None:
         "min_epoch_events_per_sec": worst["events_per_sec"] if worst else None,
         "min_epoch_vs_steady": min_ratio,
         "min_epoch_detail": {k: worst[k] for k in ("epoch", "maintenance", "expired")} if worst else None,
+        "full_epochs": len(full),
+        "near_empty_epochs": len(post) - len(full),
+        "median_epoch_n_events": median_n,
         "maintenance_async": True,
         "host_mem_gbps_before": hp0["mem_gbps"],
         "host_mem_gbps_after": hp1["mem_gbps"],
