@@ -465,17 +465,30 @@ def main() -> None:
     queries["cdc_replay_jsonl_default"] = r2d["sec"]
     cdc["jsonl_default"] = r2d
 
-    # --- multi-table: one mixed 4-table WAL vs the same volume single-table
+    # --- multi-table: one mixed 4-table WAL vs the same volume single-table.
+    # The legs alternate (multi, single, multi, single) and each side keeps
+    # its best run: a single non-interleaved pair lets host drift between the
+    # two measurements masquerade as a parallelism ratio (observed r5 spread
+    # 0.53-1.33 on the same engine across three runs of the old protocol).
     mt_events = max(N_EVENTS // 2, 4000)
     mt_dir = ensure_multi_events(spark, mt_events, FORMAT)
-    m = run_cdc_multi_table(spark, mt_dir, FORMAT, mt_events)
-    # single-table control at the same volume for the parallelism ratio
     st_dir = ensure_events(spark, mt_events, FORMAT)
-    st = run_cdc_replay(spark, st_dir, FORMAT, mt_events, f"mtctl-{CPUS}")
+    m_runs, st_runs = [], []
+    for rep in range(2):
+        m_runs.append(run_cdc_multi_table(spark, mt_dir, FORMAT, mt_events))
+        st_runs.append(
+            run_cdc_replay(spark, st_dir, FORMAT, mt_events, f"mtctl-{CPUS}")
+        )
+    m = max(m_runs, key=lambda r: r["events_per_sec"])
+    st = max(st_runs, key=lambda r: r["events_per_sec"])
     m["single_table_events_per_sec"] = st["events_per_sec"]
     m["multi_vs_single_ratio"] = round(
         m["events_per_sec"] / max(st["events_per_sec"], 1), 2
     )
+    m["all_runs_events_per_sec"] = {
+        "multi": [r["events_per_sec"] for r in m_runs],
+        "single": [r["events_per_sec"] for r in st_runs],
+    }
     queries["cdc_multi_table_replay"] = m["sec"]
     cdc["multi_table"] = m
 
