@@ -156,9 +156,21 @@ def main() -> None:
         sum(e["sec"] for e in applied[:half]), 1e-9)
     eps2 = sum(e["n_events"] for e in applied[half:]) / max(
         sum(e["sec"] for e in applied[half:]), 1e-9)
-    steady = sorted(e["events_per_sec"] for e in applied[1:]) or [0]
+    # ---- worst-epoch stall: same protocol as tools/soak.py — the first
+    # epoch (CoW bootstrap of every table's keyspace) is a different
+    # workload, and near-empty triggers (the file source's LSN slicing
+    # leaves a few right after each bootstrap segment boundary) measure
+    # fixed per-epoch latency, not a stall, so the criterion runs over
+    # FULL epochs (n_events >= 50% of the median epoch's events).  The raw
+    # all-epoch minimum is kept alongside for auditability.
+    post = applied[1:]
+    ev_sizes = sorted(e["n_events"] for e in post) or [0]
+    median_n = ev_sizes[len(ev_sizes) // 2]
+    full = [e for e in post if e["n_events"] >= 0.5 * median_n]
+    steady = sorted(e["events_per_sec"] for e in full) or [0]
     median_eps = steady[len(steady) // 2]
-    worst = min(applied[1:], key=lambda e: e["events_per_sec"], default=None)
+    worst = min(full, key=lambda e: e["events_per_sec"], default=None)
+    raw_worst = min(post, key=lambda e: e["events_per_sec"], default=None)
 
     # ---- per-table oracle on a deterministic key sample ------------------
     from pyspark.sql import functions as F
@@ -234,10 +246,15 @@ def main() -> None:
         "events_per_sec_second_half": round(eps2),
         "throughput_trend_ratio": round(eps2 / eps1, 3) if eps1 else None,
         "median_epoch_events_per_sec": median_eps,
-        "min_epoch_events_per_sec": worst["events_per_sec"] if worst else None,
-        "min_epoch_vs_steady": (
+        "min_full_epoch_events_per_sec": worst["events_per_sec"] if worst else None,
+        "min_full_epoch_vs_steady": (
             round(worst["events_per_sec"] / median_eps, 3)
             if worst and median_eps else None
+        ),
+        "full_epochs": len(full),
+        "near_empty_epochs": len(post) - len(full),
+        "raw_min_epoch_events_per_sec": (
+            raw_worst["events_per_sec"] if raw_worst else None
         ),
         "max_delta_files_any_table": max(
             (t["delta_files"] for e in applied for t in e["tables"].values()
