@@ -183,16 +183,126 @@ sections.append(
     f"of the cut filter.\n"
 )
 
+# 9. lazy DEFAULT-mode envelope (round 5): raw k/r OBJECT text scan ->
+# name-addressed skip-parse keys -> json_object_keys full-row test ->
+# survivors-only from_json(map) decode
+from pgoutput2json_spark.operators.parse import (
+    decode_raw_default_rows,
+    parse_default_events_raw,
+)
+
+write_events(generate_events(spark, spec), f"{root}/devents", "jsonl-default", 4)
+evd = read_events(spark, f"{root}/devents", "jsonl", json_mode="default", lazy=True)
+parsedD = parse_default_events_raw(evd, [(-1, eng.base_relation())], fields)
+flatD = explode_key_updates(parsedD.filter(F.col("op") != "T"), [],
+                            payload_cols=["full_row", "r"])
+cutD = snapshot_cut(
+    flatD, [], n_events_hint=20_000,
+    is_snapshot=(F.col("op") == "D") | ((F.col("op") == "U") & F.col("full_row")),
+)
+groupedD = group_events(
+    decode_raw_default_rows(cutD, [(-1, eng.base_relation())], fields), fn
+)
+plan9 = formatted(groupedD)
+section(
+    "Lazy DEFAULT-mode envelope: raw-object scan -> name-addressed keys -> cut -> survivor map decode",
+    digest(plan9, keep_details=("BroadcastExchange", "BroadcastHashJoin")),
+)
+sections.append(
+    f"Lazy default-mode plan: Python stages={plan9.count('EvalPython')} (must "
+    f"be 0), BroadcastHashJoin={plan9.count('BroadcastHashJoin')}, "
+    f"SortMergeJoin={plan9.count('SortMergeJoin')}; the JSON scan reads k/r "
+    f"as two raw object strings, merge keys skip-parse by NAME "
+    f"(get_json_object $['col']), and from_json(map<string,string>) appears "
+    f"only downstream of the cut filter.\n"
+)
+
+# 10. unified multi-table publication apply (round 5): ONE parse/cut/group
+# keyed by (t, doc_id) for the whole publication — per-table dispatch is a
+# CASE forest inside the projections, not N separate plans
+from functools import reduce
+
+from pgoutput2json_spark.streaming.multi import (
+    MultiTableCdcEngine,
+    MultiTableOptions,
+    _decode_grouped_union,
+    _group_events_raw_multi,
+    _unified_parse,
+    _union_slots,
+)
+
+mspecs = [
+    GeneratorSpec(n_events=10_000, n_keys=1_000, seed=7 + i,
+                  snapshot_keys=250, table=f"public.docs{i}", relation_at=0)
+    for i in range(2)
+]
+mparts = [generate_events(spark, s) for s in mspecs]
+write_events(reduce(lambda a, b: a.unionByName(b), mparts),
+             f"{root}/mevents", "parquet", 4)
+mt = MultiTableCdcEngine(
+    spark,
+    MultiTableOptions(
+        warehouse_root=f"{root}/wh",
+        events_dir=f"{root}/mevents",
+        checkpoint_dir=f"{root}/mckpt",
+        event_format="parquet",
+        bucket_count=8,
+    ),
+)
+mev = read_events(spark, f"{root}/mevents", "parquet", multi=True) \
+    if "multi" in read_events.__code__.co_varnames else spark.read.parquet(f"{root}/mevents")
+mt.apply_batch(mev, 0)  # bootstrap both tables (relation messages -> schemas)
+metas = {}
+for t in mt.tables():
+    e = mt.engine_for(t)
+    base = e.base_relation()
+    metas[t] = {
+        "versions": [(-1, base)],
+        "fields": e.table.schema_fields(),
+        "committed": -1,
+        "tmax": None,
+        "n": 10_000,
+        "max_lsn": 1 << 40,
+        "latest_rel": base,
+    }
+mdata = mev.filter(F.col("c").isin("I", "U", "D"))
+parsedM = _unified_parse(mdata.filter(F.col("t").isin(list(metas))), metas,
+                         lazy=dict(mdata.dtypes).get("r") == "string")
+flatM = explode_key_updates(parsedM, [], payload_cols=["t", "full_row", "r"])
+cutM = snapshot_cut(
+    flatM, [], n_events_hint=20_000,
+    is_snapshot=(F.col("op") == "D") | ((F.col("op") == "U") & F.col("full_row")),
+    keys=("t", "doc_id"),
+)
+slots_all, _remap = _union_slots(metas)
+groupedM = _decode_grouped_union(_group_events_raw_multi(cutM), metas, False)
+plan10 = formatted(groupedM)
+section(
+    "Unified multi-table apply: one parse -> (t, doc_id) cut+group -> union-slot survivor decode",
+    digest(plan10, keep_details=("BroadcastExchange", "BroadcastHashJoin")),
+)
+sections.append(
+    f"Unified publication plan (2 tables): Exchange={plan10.count('Exchange')} "
+    f"(ONE (t, doc_id) shuffle groups every table's residual events), "
+    f"BroadcastHashJoin={plan10.count('BroadcastHashJoin')}, "
+    f"SortMergeJoin={plan10.count('SortMergeJoin')}, Python stages="
+    f"{plan10.count('EvalPython')} (must be 0); union slot columns="
+    f"{len(slots_all)}. Per-table semantics ride as CASE-on-t inside the "
+    f"projections, so a 40-table publication is still one job, not 40.\n"
+)
+
 shutil.rmtree(root, ignore_errors=True)
 
 hdr = (
-    "# Physical-plan audit (round 4) — generated by tools/plan_audit.py\n\n"
+    "# Physical-plan audit (round 5) — generated by tools/plan_audit.py\n\n"
     "Evidence that the declared plans compile to the intended physical "
     "strategies: filters/projections reach the parquet scans, the snapshot-"
     "cut join is broadcast, Python appears only as Arrow-batched "
-    "mapInPandas, and whole-stage codegen spans the fold expressions.\n\n"
+    "mapInPandas, whole-stage codegen spans the fold expressions, and the "
+    "round-5 paths (lazy default-mode envelope, unified multi-table apply) "
+    "keep those properties.\n\n"
 )
-with open("/root/repo/BENCH/PLANS_r4.md", "w") as f:
+with open("/root/repo/BENCH/PLANS_r5.md", "w") as f:
     f.write(hdr + "\n".join(sections))
-print("wrote BENCH/PLANS_r4.md")
+print("wrote BENCH/PLANS_r5.md")
 spark.stop()
