@@ -239,23 +239,36 @@ def main() -> None:
         keys[0] = "doc-000000"
     kset = set(keys)
     ev = read_events(spark, ev_dir, FORMAT)
-    touched = (
+    touched_df = (
         ev.filter(
             F.element_at("k", 1).isin(keys) | F.element_at("r", 1).isin(keys)
         )
-        # the serial oracle only consumes (c, w, k, r); trimming here keeps
-        # the skew-mode collect bounded (the hot key owns HOT_PCT% of the
-        # WAL, so its full history comes to the driver for replay)
+        # the serial oracle only consumes (c, w, k, r); in skew mode the
+        # hot key owns HOT_PCT% of the WAL, so its full history (millions
+        # of rows) must reach the driver for the serial replay — stream it
+        # per partition instead of one collect, which trips
+        # spark.driver.maxResultSize on the aggregated result
         .select("c", "w", "k", "r")
-        .collect()
+        # global w-order lets the serial replay run in bounded chunks:
+        # each chunk is already sorted, and Oracle.replay is stateful and
+        # incremental (the dedup watermark persists across calls)
+        .orderBy("w")
     )
     o = Oracle()
-    o.replay([
-        {"c": r["c"], "w": r["w"],
-         **({"k": list(r["k"])} if r["k"] is not None else {}),
-         **({"r": list(r["r"])} if r["r"] is not None else {})}
-        for r in touched
-    ])
+    n_touched = 0
+    chunk: list[dict] = []
+    for r in touched_df.toLocalIterator(prefetchPartitions=True):
+        chunk.append(
+            {"c": r["c"], "w": r["w"],
+             **({"k": list(r["k"])} if r["k"] is not None else {}),
+             **({"r": list(r["r"])} if r["r"] is not None else {})}
+        )
+        if len(chunk) >= 200_000:
+            o.replay(chunk)
+            n_touched += len(chunk)
+            chunk = []
+    o.replay(chunk)
+    n_touched += len(chunk)
     want = {k: v for k, v in o.table().items() if k in kset}
     got = {
         r["doc_id"]: r.asDict(recursive=True)
@@ -313,7 +326,7 @@ def main() -> None:
         "expiry_fired": sum(1 for e in applied if e["expired"]),
         "final_rows": eng.table.read().count(),
         "oracle_sample_keys": len(keys),
-        "oracle_sample_events": len(touched),
+        "oracle_sample_events": n_touched,
         "oracle_mismatches": mismatches[:10],
         "oracle_ok": not mismatches,
         "per_epoch": epochs,
