@@ -13,6 +13,12 @@ reference's SQLite store-sink semantics
 - T (truncate, our extension): clear the table
 - dedup: skip events with w <= last committed (ReplicationListener.cs:278-288)
 - relation message (s): schema evolution — later slots map to new columns
+
+``lww=True`` replays with the engine's ``apply_mode='lww'`` contract
+instead (operators/dedup.py): the winning event's full row REPLACES the
+key's state — I and U are identical upserts, no insert-ignore, no TOAST
+inheritance.  The stream must be TOAST-free (the salted reduce would
+persist the sentinel itself); a sentinel in lww mode raises.
 """
 
 from __future__ import annotations
@@ -21,12 +27,14 @@ import json
 
 
 class Oracle:
-    def __init__(self, columns=("doc_id", "tokens", "n_tok", "source"), key="doc_id"):
+    def __init__(self, columns=("doc_id", "tokens", "n_tok", "source"), key="doc_id",
+                 lww=False):
         self.columns = list(columns)
         self.keys = [key] if isinstance(key, str) else list(key)
         self.key = self.keys[0]
         self.rows: dict = {}
         self.last_lsn = -1
+        self.lww = lww
 
     def _key_idx(self):
         return self.columns.index(self.key)
@@ -86,6 +94,16 @@ class Oracle:
             return out
 
         vals = row_values()
+        if self.lww:
+            if any(v == ("__TOAST__",) for v in vals.values()):
+                raise ValueError(
+                    "TOAST sentinel in an lww-mode stream — apply_mode='lww' "
+                    "requires full-row updates (operators/dedup.py)"
+                )
+            self.rows[key] = {
+                col: (None if v is None else v[0]) for col, v in vals.items()
+            }
+            return
         if c == "I":
             if key in self.rows:
                 return  # ON CONFLICT DO NOTHING

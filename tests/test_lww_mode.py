@@ -1,0 +1,103 @@
+"""apply_mode='lww' vs the serial lww oracle.
+
+The salted two-phase reduce (operators/dedup.py::salted_lww_reduce) applies
+"winning event's full row replaces the key" semantics — I and U identical,
+no insert-ignore, no TOAST inheritance.  Oracle(lww=True) replays the same
+contract serially; these tests pin engine == oracle on streams that honor
+the contract (full-row updates, TOAST-free), including the cases where lww
+and exact semantics genuinely differ (insert onto an existing key) and the
+skew-soak shape (hot key + generator mix).  The skew soak
+(tools/soak.py SOAK_SKEW=1) relies on exactly this equivalence.
+"""
+
+import os
+
+import pytest
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from pgoutput2json_spark.sources.events import read_events
+from pgoutput2json_spark.sources.generator import (
+    GeneratorSpec,
+    generate_events,
+    write_events,
+)
+from tests.oracle import Oracle
+from tests.util import assert_matches_oracle, ev, make_engine, write_jsonl
+
+
+def test_lww_handcrafted_stream(spark, tmpdir_path):
+    """Insert-on-existing overwrites (the case exact mode ignores), delete,
+    key-update, and a hot key hammered across two batches."""
+    b0 = [
+        ev("I", 10, ["doc-000001", [1, 2], 2, "web"]),
+        ev("I", 11, ["doc-000002", [3], 1, "code"]),
+        # lww: this second insert REPLACES doc-000001 (exact would ignore it)
+        ev("I", 12, ["doc-000001", [9, 9], 2, "books"]),
+        ev("U", 13, ["doc-000003", [7, 7, 7], 3, "web"]),  # U on missing key
+        ev("D", 14, None, k=["doc-000002"]),
+    ]
+    hot = [ev("U", 20 + i, ["doc-000009", [i], 1, "web"]) for i in range(50)]
+    b1 = hot + [
+        # key migration: doc-000003 -> doc-000004
+        ev("U", 80, ["doc-000004", [5, 5], 2, "code"], k=["doc-000003"]),
+        ev("I", 81, ["doc-000002", [4, 4], 2, "web"]),  # re-insert after D
+    ]
+    eng = make_engine(spark, tmpdir_path, apply_mode="lww")
+    oracle = Oracle(lww=True)
+    for i, batch in enumerate([b0, b1]):
+        fp = write_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(fp)
+        eng.apply_batch(df, epoch_id=i)
+        oracle.replay(batch)
+    assert_matches_oracle(eng, oracle)
+    state = oracle.table()
+    assert state["doc-000001"]["source"] == "books"  # overwrite happened
+    assert state["doc-000009"]["tokens"] == [49]  # last hot writer won
+    assert "doc-000003" not in state  # key migrated
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "parquet"])
+def test_lww_generator_stream_matches_oracle(spark, tmpdir_path, fmt):
+    """The skew-soak shape end-to-end at mini scale: generator WAL with a 50%
+    hot key and toast_pct=0, applied in lww mode, equals the serial lww
+    replay — both event formats (parquet = eager decode + salted_lww_reduce,
+    compact jsonl = the lazy raw envelope reduce)."""
+    spec = GeneratorSpec(
+        n_events=4000,
+        n_keys=100,
+        seed=7,
+        snapshot_keys=100,
+        hot_pct=50,
+        toast_pct=0,
+        max_tokens=16,
+    )
+    ev_dir = os.path.join(tmpdir_path, f"events-{fmt}")
+    write_events(generate_events(spark, spec), ev_dir, fmt, 4)
+    eng = make_engine(spark, tmpdir_path, fmt=fmt, apply_mode="lww")
+    events_df = read_events(spark, ev_dir, fmt)
+    eng.apply_batch(events_df, epoch_id=0)
+    oracle = Oracle(lww=True)
+    oracle.replay([
+        {"c": r["c"], "w": r["w"],
+         **({"k": list(r["k"])} if r["k"] is not None else {}),
+         **({"r": list(r["r"])} if r["r"] is not None else {})}
+        for r in events_df.select("c", "w", "k", "r").collect()
+    ])
+    # wire slots are raw JSON text, so scalar slots replay as strings —
+    # coerce exactly like the soak's oracle phase (tools/soak.py)
+    want = {
+        k: {"tokens": list(v["tokens"]) if v.get("tokens") is not None else None,
+            "n_tok": int(v["n_tok"]) if v.get("n_tok") is not None else None,
+            "source": v.get("source")}
+        for k, v in oracle.table().items()
+    }
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in eng.table.read().collect()
+    }
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert (list(g["tokens"]) if g["tokens"] is not None else None) == w["tokens"], k
+        assert g["n_tok"] == w["n_tok"], k
+        assert g["source"] == w["source"], k

@@ -77,7 +77,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_files = EPOCHS * 4  # 4 segment files per micro-batch epoch
-    ev_dir = f"{CACHE}/events-{N}-{FORMAT}-{n_files}-h{HOT_PCT}"
+    # skew mode runs apply_mode='lww', whose contract (operators/dedup.py)
+    # is full-row updates — generate the WAL TOAST-free there so the serial
+    # lww oracle is exact; "-lww" keeps the cache distinct from exact-mode
+    # WALs at the same size
+    ev_dir = f"{CACHE}/events-{N}-{FORMAT}-{n_files}-h{HOT_PCT}" + (
+        "-lww" if SKEW else ""
+    )
     # Steady-state CDC shape: the whole keyspace bootstraps at w=0 (first
     # epochs = CoW backfill), then the stream updates ~N/EPOCHS events per
     # epoch over a keyspace 5x that size — batch keys < 25% of base rows, so
@@ -90,6 +96,7 @@ def main() -> None:
         snapshot_keys=max(N // 5, 50),
         hot_pct=HOT_PCT,
         max_tokens=64,
+        toast_pct=0 if SKEW else 5,
     )
     if not os.path.exists(f"{ev_dir}/_READY"):
         shutil.rmtree(ev_dir, ignore_errors=True)
@@ -254,7 +261,7 @@ def main() -> None:
         # incremental (the dedup watermark persists across calls)
         .orderBy("w")
     )
-    o = Oracle()
+    o = Oracle(lww=SKEW)  # skew mode applies with apply_mode='lww'
     n_touched = 0
     chunk: list[dict] = []
     for r in touched_df.toLocalIterator(prefetchPartitions=True):
