@@ -32,7 +32,17 @@ def salted_lww_reduce(
     ev = F.struct(
         F.col("lsn"),
         F.col("sub"),
-        F.col("op"),
+        # the winner applies as an UPSERT (I -> update-else-insert): lww's
+        # "latest event materializes the key" must not depend on where the
+        # micro-batch boundary fell, but insert-ignore semantics would make
+        # an I-winner a no-op exactly when the key already committed in an
+        # EARLIER epoch — same stream, different result per trigger sizing.
+        # Rewriting I->U makes the reduce associative: the winner of
+        # winners applied once equals serial last-writer replay (for the
+        # mode's full-row contract; gated by tests/test_lww_mode.py and the
+        # skew soak's serial Oracle(lww=True)).  Lineage n_i/n_u below
+        # still count the wire ops.
+        F.when(F.col("op") == "I", F.lit("U")).otherwise(F.col("op")).alias("op"),
         F.struct(*[F.col(f"f_{n}").alias(n) for n in field_names]).alias("v"),
     )
     # max_by on the long-encoded (lsn, sub) order: max(struct) would fall
@@ -138,7 +148,11 @@ def salted_lww_reduce_raw(
     win_ev = F.struct(
         F.col("win")["lsn"].alias("lsn"),
         F.col("win")["sub"].alias("sub"),
-        F.col("win")["op"].alias("op"),
+        # I -> U: the winner applies as an upsert, independent of which
+        # epoch first committed the key (see salted_lww_reduce)
+        F.when(F.col("win")["op"] == "I", F.lit("U"))
+        .otherwise(F.col("win")["op"])
+        .alias("op"),
         v.alias("v"),
     )
     return phase2.select(

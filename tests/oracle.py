@@ -15,10 +15,10 @@ reference's SQLite store-sink semantics
 - relation message (s): schema evolution — later slots map to new columns
 
 ``lww=True`` replays with the engine's ``apply_mode='lww'`` contract
-instead (operators/dedup.py): the winning event's full row REPLACES the
-key's state — I and U are identical upserts, no insert-ignore, no TOAST
-inheritance.  The stream must be TOAST-free (the salted reduce would
-persist the sentinel itself); a sentinel in lww mode raises.
+instead (operators/dedup.py): every I/U applies as update-else-insert —
+no insert-ignore, no TOAST inheritance — so the latest event materializes
+the key.  The stream must be TOAST-free (the salted reduce would persist
+the sentinel itself); a sentinel in lww mode raises.
 """
 
 from __future__ import annotations
@@ -100,9 +100,22 @@ class Oracle:
                     "TOAST sentinel in an lww-mode stream — apply_mode='lww' "
                     "requires full-row updates (operators/dedup.py)"
                 )
-            self.rows[key] = {
-                col: (None if v is None else v[0]) for col, v in vals.items()
-            }
+            # every I/U applies as update-else-insert (the engine's lww
+            # winner is rewritten I->U); with the mode's full-row contract
+            # this equals plain replace, and absent slots (schema evolution
+            # mid-stream) inherit exactly like the engine's update branch
+            if key in self.rows:
+                cur = self.rows[key]
+                for col, v in vals.items():
+                    if v is None:
+                        continue
+                    cur[col] = v[0]
+                for col in self.columns:
+                    cur.setdefault(col, None)
+            else:
+                self.rows[key] = {
+                    col: (None if v is None else v[0]) for col, v in vals.items()
+                }
             return
         if c == "I":
             if key in self.rows:

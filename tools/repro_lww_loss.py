@@ -1,0 +1,149 @@
+"""Full-state repro harness for the skew-soak lww mismatch.
+
+Runs the EXACT soak configuration (streaming epochs, lww apply, async
+maintenance, 50% hot key, TOAST-free WAL) at a size where the WHOLE final
+table can be checked against the serial lww oracle, then prints the
+mismatch count and a per-epoch journal.  Env knobs bisect the suspects:
+
+  REPRO_EVENTS   (default 1_000_000)
+  REPRO_EPOCHS   (default 8)
+  REPRO_ASYNC    (default 1)   maintenance_async
+  REPRO_COMPACT  (default 4)   compact_max_files (0 = disable compaction)
+  REPRO_EXPIRE   (default 8)   expire_every (0 = off)
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo/tests")
+
+N = int(os.environ.get("REPRO_EVENTS", "1000000"))
+EPOCHS = int(os.environ.get("REPRO_EPOCHS", "8"))
+ASYNC = os.environ.get("REPRO_ASYNC", "1") == "1"
+COMPACT_MAX = int(os.environ.get("REPRO_COMPACT", "4"))
+EXPIRE = int(os.environ.get("REPRO_EXPIRE", "8"))
+CACHE = "/tmp/pg2spark-repro"
+
+
+def main() -> None:
+    from bench import build_spark
+    from pgoutput2json_spark.sources.events import read_events
+    from pgoutput2json_spark.sources.generator import (
+        GeneratorSpec,
+        generate_events,
+        write_events,
+    )
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+    from oracle import Oracle
+
+    spark = build_spark(8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_files = EPOCHS * 4
+    ev_dir = f"{CACHE}/events-{N}-{n_files}"
+    spec = GeneratorSpec(
+        n_events=N,
+        n_keys=max(N // 5, 100),
+        seed=42,
+        snapshot_keys=max(N // 5, 50),
+        hot_pct=50,
+        max_tokens=64,
+        toast_pct=0,
+    )
+    if not os.path.exists(f"{ev_dir}/_READY"):
+        shutil.rmtree(ev_dir, ignore_errors=True)
+        write_events(generate_events(spark, spec), ev_dir, "parquet", n_files)
+        with open(f"{ev_dir}/_READY", "w") as f:
+            f.write("ok")
+
+    work = f"{CACHE}/run-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    epochs: list[dict] = []
+
+    def hook(summary: dict) -> None:
+        rec = {k: summary.get(k) for k in
+               ("epoch", "n-events", "merge-mode", "maintenance", "skew.salt",
+                "lsn-min", "lsn-max", "cdc.max-lsn")}
+        rec = {k: v for k, v in rec.items() if v is not None}
+        epochs.append(dict(summary))
+        print(json.dumps(rec), flush=True)
+
+    eng = CdcEngine(
+        spark,
+        EngineOptions(
+            table_root=f"{work}/table",
+            events_dir=ev_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format="parquet",
+            bucket_count=64,
+            max_files_per_trigger=max(n_files // EPOCHS, 1),
+            compact_max_files=COMPACT_MAX,
+            compact_every=8 if COMPACT_MAX else 0,
+            expire_every=EXPIRE,
+            post_commit_hook=hook,
+            apply_mode="lww",
+            merge_mode=os.environ.get("REPRO_MERGE", "auto"),
+            maintenance_async=ASYNC,
+        ),
+    )
+    t0 = time.time()
+    eng.run_until_drained(timeout_sec=3600)
+    wall = time.time() - t0
+
+    # ---- full-state serial lww oracle
+    o = Oracle(lww=True)
+    ev = read_events(spark, ev_dir, "parquet").select("c", "w", "k", "r").orderBy("w")
+    chunk: list[dict] = []
+    n = 0
+    for r in ev.toLocalIterator(prefetchPartitions=True):
+        chunk.append(
+            {"c": r["c"], "w": r["w"],
+             **({"k": list(r["k"])} if r["k"] is not None else {}),
+             **({"r": list(r["r"])} if r["r"] is not None else {})}
+        )
+        if len(chunk) >= 200_000:
+            o.replay(chunk)
+            n += len(chunk)
+            chunk = []
+    o.replay(chunk)
+    n += len(chunk)
+
+    want = {
+        k: {"tokens": list(v["tokens"]) if v.get("tokens") is not None else None,
+            "n_tok": int(v["n_tok"]) if v.get("n_tok") is not None else None,
+            "source": v.get("source")}
+        for k, v in o.table().items()
+    }
+    got = {}
+    for r in eng.table.read().toLocalIterator(prefetchPartitions=True):
+        d = r.asDict(recursive=True)
+        got[d["doc_id"]] = {
+            "tokens": list(d["tokens"]) if d["tokens"] is not None else None,
+            "n_tok": d["n_tok"],
+            "source": d["source"],
+        }
+
+    extra = sorted(set(got) - set(want))
+    missing = sorted(set(want) - set(got))
+    diff = [k for k in set(got) & set(want) if got[k] != want[k]]
+    print(json.dumps({
+        "n_events": n,
+        "wall_sec": round(wall, 1),
+        "async": ASYNC, "compact_max": COMPACT_MAX, "expire": EXPIRE,
+        "engine_rows": len(got), "oracle_rows": len(want),
+        "extra_keys": len(extra), "missing_keys": len(missing),
+        "value_mismatch_keys": len(diff),
+        "sample_diff": [
+            {"key": k, "engine": got[k], "oracle": want[k]} for k in sorted(diff)[:3]
+        ],
+        "sample_extra": extra[:3], "sample_missing": missing[:3],
+    }, default=str), flush=True)
+
+
+if __name__ == "__main__":
+    main()
