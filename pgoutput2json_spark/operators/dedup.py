@@ -1,10 +1,14 @@
 """Salted last-writer-wins reduce (R1 skew handling + D3 fast path).
 
-``apply_mode='lww'`` is the high-throughput mode for upsert-style streams
-where every update carries the full row and inserts never target existing
-keys (Debezium-style materialization).  Under those assumptions the serial
-fold degenerates to "latest event per key wins", computed as an explicitly
-**salted two-phase max_by**:
+``apply_mode='lww'`` is the high-throughput mode for full-row streams
+(Debezium-style materialization): the latest event per key materializes
+the key — I and U both apply as update-else-insert (the winner's op is
+rewritten I->U so an insert onto an already-committed key upserts rather
+than hitting exact-mode insert-ignore, keeping the result independent of
+micro-batch slicing), D deletes.  Partial updates (TOAST) need ``exact``
+mode; the winner inherits unset slots only from the pre-batch row.  The
+serial fold thus degenerates to "latest event per key wins", computed as
+an explicitly **salted two-phase max_by**:
 
   phase 1: groupBy(doc_id, salt = pmod(xxhash64(lsn), S))  -> per-salt max
   phase 2: groupBy(doc_id)                                 -> global max
