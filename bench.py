@@ -414,7 +414,14 @@ def run_mor_readamp(spark, events_dir: str, fmt: str,
             )
             eng.apply_batch(df, epoch_id=e)
             if (e + 1) in levels:
+                # maintenance is ASYNC by default: apply_batch only
+                # schedules the fold.  Wait for it before timing the read
+                # (the steady-state read cost under the default config) and
+                # before teardown — rmtree'ing the work dir under an
+                # in-flight background fold aborts its write job.
+                eng.flush_maintenance()
                 timings[e + 1] = read_ms(eng.table)
+        eng.flush_maintenance()
         snap = eng.table.snapshot()
         out[variant] = {
             "read_ms_by_epochs": timings,
