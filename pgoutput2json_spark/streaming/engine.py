@@ -775,7 +775,16 @@ class CdcEngine:
         replaced = prep["replaced"]
         expected_version = prep["expected_version"]
         obs = prep["obs"]
-        merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
+        # A merge whose output is statically empty (e.g. a batch that only
+        # deletes keys absent from an empty/pruned target) lets the optimizer
+        # collapse the observed subtree into an empty LocalRelation; the
+        # CollectMetrics row then never materializes and Observation.get
+        # raises a JVM assertion instead of returning zeros.  Stats are
+        # all-zero in that case by construction.
+        try:
+            merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
+        except Exception:
+            merge_stats = {}
 
         lineage_path = None
         if opts.emit_lineage:

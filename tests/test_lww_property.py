@@ -1,0 +1,100 @@
+"""Property-based test: lww apply is invariant to micro-batch slicing.
+
+Hypothesis generates random FULL-ROW event sequences (the lww contract:
+no TOAST/absent slots) over a tiny keyspace — insert-onto-existing,
+delete, re-insert, repeated updates — and random batch boundaries.  The
+engine's ``apply_mode='lww'`` replay (salted two-phase max_by winner,
+op rewritten I->U, folded into the lake table epoch by epoch) must equal
+the pure-Python serial last-writer replay (Oracle(lww=True)) REGARDLESS
+of where the batch boundaries fall.  This is the regression guard for the
+round-5 bug where an I-winner was insert-ignored exactly when its key had
+committed in an earlier epoch, making the final state depend on trigger
+sizing (caught by the skew soak's serial oracle; see
+tools/repro_lww_loss.py and BENCH/BASELINE.md round 5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from tests.oracle import Oracle
+from tests.util import make_engine, write_jsonl
+
+KEYS = ["k0", "k1", "k2"]
+
+# one event: (key_idx, op, token_val)
+_event = st.tuples(
+    st.integers(0, len(KEYS) - 1),
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, 9),
+)
+
+
+def _to_events(seq):
+    evs = []
+    for lsn, (ki, op, nv) in enumerate(seq, start=1):
+        key = KEYS[ki]
+        e = {"c": op, "w": lsn, "t": "public.docs"}
+        if op == "D":
+            e["k"] = [key]
+        else:
+            e["r"] = [key, [nv, nv + 1], 2, f"s{nv}"]
+        evs.append(e)
+    return evs
+
+
+def _split(events, split_seed):
+    """Deterministic 1-3 way contiguous split driven by the seed."""
+    n = len(events)
+    cuts = sorted({split_seed % (n + 1), (split_seed // 7) % (n + 1)})
+    parts, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            parts.append(events[prev:c])
+            prev = c
+    return parts or [events]
+
+
+@pytest.fixture(scope="module")
+def run_lww(spark):
+    def run(batches):
+        root = tempfile.mkdtemp(prefix="lwwprop-")
+        try:
+            eng = make_engine(spark, root, apply_mode="lww")
+            for i, batch in enumerate(batches):
+                fp = write_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+                df = spark.read.schema(EVENT_SCHEMA).json(fp)
+                eng.apply_batch(df, epoch_id=i)
+            return {
+                r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+                for r in eng.table.read().collect()
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return run
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=10), st.integers(0, 10_000))
+def test_lww_matches_serial_replay_any_slicing(run_lww, seq, split_seed):
+    events = _to_events(seq)
+    batches = [b for b in _split(events, split_seed) if b]
+    got = run_lww(batches)
+    o = Oracle(lww=True)
+    for b in batches:
+        o.replay(b)
+    want = {
+        k: (list(v["tokens"]), v["n_tok"], v["source"])
+        for k, v in o.table().items()
+    }
+    assert got == want, (
+        f"batches={[len(b) for b in batches]} seq={seq}\n"
+        f"engine={got}\noracle={want}"
+    )

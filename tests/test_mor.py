@@ -213,3 +213,22 @@ def test_mor_streaming_drive_with_auto_compaction(spark, tmpdir_path):
     # auto-maintenance ran: delta logs were folded at least once
     ops = [s["summary"].get("operation") for s in eng.table.snapshots()]
     assert "compact" in ops
+
+
+def test_delete_only_first_batch_commits_empty_state(spark, tmpdir_path):
+    """A first micro-batch containing only deletes of never-inserted keys
+    yields a statically-empty merge result; the optimizer collapses the
+    observed subtree, so Observation.get never sees a metrics row.  The
+    commit must still land (LSN advances, table stays empty) in both merge
+    modes rather than killing the stream (round-5 regression: JVM
+    assertion from Observation.get on the empty plan)."""
+    for mode in ("cow", "mor"):
+        root = os.path.join(tmpdir_path, mode)
+        eng = make_engine(spark, root, merge_mode=mode)
+        batch = [ev("D", 1, k=["ghost-a", None, None, None]),
+                 ev("D", 2, k=["ghost-b", None, None, None])]
+        fp = write_jsonl(batch, eng.opts.events_dir, "000.jsonl")
+        df = spark.read.schema(EVENT_SCHEMA).json(fp)
+        eng.apply_batch(df, epoch_id=0)
+        assert eng.table.read().count() == 0
+        assert eng.table.committed_lsn() == 2
