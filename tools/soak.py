@@ -222,6 +222,22 @@ def main() -> None:
         round(worst["events_per_sec"] / median_eps, 3)
         if worst and median_eps else None
     )
+    # Attribute the stall criterion: the r4 perf-weak item was MAINTENANCE
+    # stalling the apply path, so grade maintenance epochs and
+    # maintenance-free epochs separately.  A maintenance-free dip on this
+    # shared VM tracks the host memory-bandwidth probe (recorded
+    # before/after), not an engine regression — keep both numbers so the
+    # artifact tells which one moved.
+    maint = [e for e in full if e["maintenance"]]
+    plain = [e for e in full if not e["maintenance"]]
+    maint_min = (
+        round(min(e["events_per_sec"] for e in maint) / median_eps, 3)
+        if maint and median_eps else None
+    )
+    plain_min = (
+        round(min(e["events_per_sec"] for e in plain) / median_eps, 3)
+        if plain and median_eps else None
+    )
 
     # ---- table bytes on disk (live snapshot)
     snap = eng.table.snapshot()
@@ -308,6 +324,8 @@ def main() -> None:
         "median_epoch_events_per_sec": median_eps,
         "min_epoch_events_per_sec": worst["events_per_sec"] if worst else None,
         "min_epoch_vs_steady": min_ratio,
+        "maintenance_epoch_min_vs_steady": maint_min,
+        "non_maintenance_min_vs_steady": plain_min,
         "min_epoch_detail": {k: worst[k] for k in ("epoch", "maintenance", "expired")} if worst else None,
         "full_epochs": len(full),
         "near_empty_epochs": len(post) - len(full),
