@@ -71,14 +71,46 @@ class MultiTableOptions:
     max_parallel_tables: int = 4
 
 
-def _per_table(metas: dict, build) -> Column:
+def _versions_sig(versions) -> tuple:
+    """Canonical signature of a table's relation-version history (column
+    layout per version, table name excluded) — two tables with equal
+    signatures produce identical dispatch expressions."""
+    return tuple(
+        (w, tuple((c.name, c.is_key, c.oid, c.typmod) for c in rel.columns))
+        for w, rel in versions
+    )
+
+
+def _per_table(metas: dict, build, sig=None) -> Column:
     """CASE over table names: ``build(meta) -> Column`` per table.  The
     relation-version dispatch inside each branch composes with this, so one
-    JVM projection serves every table of the publication."""
-    expr = None
+    JVM projection serves every table of the publication.
+
+    When ``sig(meta)`` is given, tables with equal signatures share ONE
+    branch (``t IN (...)``): the common sharded-publication shape — N
+    tables carrying the same schema — pays one branch, so per-event
+    dispatch work and generated-code size scale with the number of
+    DISTINCT schemas, not the table count (a 40-shard publication would
+    otherwise blow past the whole-stage-codegen method-size limit and
+    fall back to interpreted projection)."""
+    groups: dict = {}
+    order: list = []
     for tbl, m in metas.items():
+        key = sig(m) if sig is not None else tbl
+        if key in groups:
+            groups[key][0].append(tbl)
+        else:
+            groups[key] = ([tbl], m)
+            order.append(key)
+    expr = None
+    for key in order:
+        tables, m = groups[key]
         col = build(m)
-        cond = F.col("t") == F.lit(tbl)
+        cond = (
+            F.col("t") == F.lit(tables[0])
+            if len(tables) == 1
+            else F.col("t").isin(tables)
+        )
         expr = F.when(cond, col) if expr is None else expr.when(cond, col)
     return expr
 
@@ -108,7 +140,9 @@ def _unified_parse(events: DataFrame, metas: dict, lazy: bool) -> DataFrame:
 
             return _per_version(m["versions"], build)
 
-        return _per_table(metas, per_meta)
+        return _per_table(
+            metas, per_meta, sig=lambda m: _versions_sig(m["versions"])
+        )
 
     def full_row_col() -> Column:
         def per_meta(m):
@@ -135,7 +169,16 @@ def _unified_parse(events: DataFrame, metas: dict, lazy: bool) -> DataFrame:
                 lambda x: x.isin(TOAST_SENTINEL, f'"{TOAST_SENTINEL}"'),
             )
         return F.coalesce(
-            F.col("r").isNotNull() & _per_table(metas, per_meta) & no_toast,
+            F.col("r").isNotNull()
+            & _per_table(
+                metas,
+                per_meta,
+                sig=lambda m: (
+                    _versions_sig(m["versions"]),
+                    tuple(f["name"] for f in m["fields"]),
+                ),
+            )
+            & no_toast,
             F.lit(False),
         )
 
@@ -226,8 +269,20 @@ def _decode_grouped_union(g: DataFrame, metas: dict, lazy: bool) -> DataFrame:
 
     def slot_col(e, name: str, ty: str, owners: dict) -> Column:
         dt = _parse_type(ty)
-        expr = None
+        # same-signature owners share one branch (see _per_table): the
+        # decode CASE width scales with distinct schemas, not table count
+        groups: dict = {}
+        order: list = []
         for table, versions in owners.items():
+            key = _versions_sig(versions)
+            if key in groups:
+                groups[key][0].append(table)
+            else:
+                groups[key] = ([table], versions)
+                order.append(key)
+        expr = None
+        for key in order:
+            tables, versions = groups[key]
             col = _per_version(
                 versions,
                 lambda rel, name=name, dt=dt: _field_struct(
@@ -235,7 +290,11 @@ def _decode_grouped_union(g: DataFrame, metas: dict, lazy: bool) -> DataFrame:
                 ),
                 w=e["lsn"],
             )
-            cond = F.col("t") == F.lit(table)
+            cond = (
+                F.col("t") == F.lit(tables[0])
+                if len(tables) == 1
+                else F.col("t").isin(tables)
+            )
             expr = F.when(cond, col) if expr is None else expr.when(cond, col)
         return expr  # non-owner tables fall through to typed NULL
 
@@ -551,7 +610,12 @@ class MultiTableCdcEngine:
         )
         # D2 committed-LSN dedup + A5 truncate split, per table in one filter
         parsed = parsed.filter(
-            F.col("lsn") > _per_table(metas, lambda m: F.lit(m["committed"]))
+            F.col("lsn")
+            > _per_table(
+                metas,
+                lambda m: F.lit(m["committed"]),
+                sig=lambda m: m["committed"],
+            )
         )
         no_trunc = -(2 ** 62)
         parsed = parsed.filter(
@@ -561,6 +625,7 @@ class MultiTableCdcEngine:
                 > _per_table(
                     metas,
                     lambda m: F.lit(m["tmax"] if m["tmax"] is not None else no_trunc),
+                    sig=lambda m: m["tmax"],
                 )
             )
         )

@@ -206,3 +206,33 @@ def test_type_conflicted_column_names_across_tables(spark, tmpdir_path):
     # int slot stayed int, text slot stayed text
     assert dict(ta.read().dtypes)["val"] == "int"
     assert dict(tb.read().dtypes)["val"] == "string"
+
+
+def test_per_table_dispatch_collapses_same_schema_branches(spark):
+    """Sharded publications (N tables, one schema) must pay ONE dispatch
+    branch, not N: generated-code size and per-event CASE work scale with
+    distinct schemas.  Two same-signature tables + one different table ->
+    exactly two WHEN branches, the shared one predicated on t IN (...)."""
+    from pgoutput2json_spark.schema import RelationSchema, ColumnSpec
+    from pgoutput2json_spark.streaming.multi import _per_table, _versions_sig
+
+    rel_a = RelationSchema("public.a", [ColumnSpec("id", True, 25, -1),
+                                        ColumnSpec("v", False, 20, -1)])
+    rel_b = RelationSchema("public.b", rel_a.columns)
+    rel_c = RelationSchema("public.c", [ColumnSpec("id", True, 25, -1)])
+    metas = {
+        "public.a": {"versions": [(-1, rel_a)]},
+        "public.b": {"versions": [(-1, rel_b)]},
+        "public.c": {"versions": [(-1, rel_c)]},
+    }
+    calls = []
+
+    def build(m):
+        calls.append(m)
+        return F.lit(len(m["versions"][0][1].columns))
+
+    col = _per_table(metas, build, sig=lambda m: _versions_sig(m["versions"]))
+    s = str(col)
+    assert len(calls) == 2, "build must run once per distinct signature"
+    assert s.count("WHEN") == 2, s
+    assert "in(t" in s and "public.b" in s, s
