@@ -236,3 +236,57 @@ def test_per_table_dispatch_collapses_same_schema_branches(spark):
     assert len(calls) == 2, "build must run once per distinct signature"
     assert s.count("WHEN") == 2, s
     assert "in(t" in s and "public.b" in s, s
+
+
+def test_mid_stream_evolution_splits_shared_dispatch_branch(spark, tmpdir_path):
+    """Two same-schema tables start on ONE shared dispatch branch (signature
+    dedup); a relation message then adds a column to only one of them, so
+    their signatures diverge mid-batch and later events dispatch on the
+    per-version CASE inside separate branches.  Both tables' final states
+    must be exact: the evolved table gets the new column (old rows NULL),
+    the sibling keeps the base schema untouched."""
+    a_base = '["public.sh_a",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],["source",0,25]]'
+    b_base = '["public.sh_b",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],["source",0,25]]'
+    a_v2 = ('["public.sh_a",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],'
+            '["source",0,25],["lang",0,25]]')
+    eng = mk(spark, tmpdir_path)
+
+    # epoch 0: both tables on the shared base schema
+    b0 = [
+        ev("I", 1, ["a1", [1, 2], 2, "web"], s=a_base, t="public.sh_a"),
+        ev("I", 2, ["b1", [3], 1, "web"], s=b_base, t="public.sh_b"),
+        ev("I", 3, ["a2", [4], 1, "code"], t="public.sh_a"),
+    ]
+    write_jsonl(b0, eng.opts.events_dir, "000.jsonl")
+    df0 = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(eng.opts.events_dir, "000.jsonl"))
+    eng.apply_batch(df0, 0)
+
+    # epoch 1: sh_a evolves mid-batch (5-slot rows after w=11); sh_b stays
+    # 4-slot — pre- and post-evolution events for BOTH tables interleaved
+    b1 = [
+        ev("U", 10, ["a1", [9, 9], 2, "web"], t="public.sh_a"),
+        ev("I", 11, None, s=a_v2, t="public.sh_a"),
+        ev("U", 12, ["a2", [4, 5], 2, "code", "en"], t="public.sh_a"),
+        ev("U", 13, ["b1", [3, 3], 2, "books"], t="public.sh_b"),
+        ev("I", 14, ["a3", [7], 1, "web", "fr"], t="public.sh_a"),
+    ]
+    write_jsonl(b1, eng.opts.events_dir, "001.jsonl")
+    df1 = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(eng.opts.events_dir, "001.jsonl"))
+    eng.apply_batch(df1, 1)
+
+    ta = eng.engine_for("public.sh_a").table
+    tb = eng.engine_for("public.sh_b").table
+    assert ta.column_names() == ["doc_id", "tokens", "n_tok", "source", "lang"]
+    assert tb.column_names() == ["doc_id", "tokens", "n_tok", "source"]
+    got_a = {r["doc_id"]: (list(r["tokens"]), r["source"], r["lang"])
+             for r in ta.read().collect()}
+    assert got_a == {
+        "a1": ([9, 9], "web", None),      # pre-evolution update: lang NULL
+        "a2": ([4, 5], "code", "en"),     # post-evolution full row
+        "a3": ([7], "web", "fr"),
+    }
+    got_b = {r["doc_id"]: (list(r["tokens"]), r["source"])
+             for r in tb.read().collect()}
+    assert got_b == {"b1": ([3, 3], "books")}
