@@ -571,6 +571,11 @@ def _persist_results(out: dict) -> None:
         ]
         rnd = f"{(max(ns) + 1) if ns else 0:02d}"
     path = os.path.join(here, "BENCH", f"RESULTS_r{rnd}.json")
+    if os.path.exists(path):
+        # keep the curated headline run (host quality varies 2-3x between
+        # runs — see BASELINE.md host-variance protocol); later runs land
+        # as a _latest sibling so no evidence is ever silently replaced
+        path = os.path.join(here, "BENCH", f"RESULTS_r{rnd}_latest.json")
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
