@@ -1055,7 +1055,15 @@ class MultiTableCdcEngine:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-        stats = {k: int(v or 0) for k, v in obs.get.items()}
+        # Statically-empty staged output (e.g. every table's batch only
+        # deletes absent keys) lets the optimizer collapse the observed
+        # subtree; the metrics row never materializes and Observation.get
+        # raises a JVM assertion — stats are all-zero by construction then
+        # (same guard as CdcEngine.commit_prepared).
+        try:
+            stats = {k: int(v or 0) for k, v in obs.get.items()}
+        except Exception:
+            stats = {}
 
         class _Obs:
             def __init__(self, d):

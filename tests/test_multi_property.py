@@ -1,0 +1,122 @@
+"""Property-based test: the unified multi-table apply equals per-table
+serial replays for ANY interleaving and ANY micro-batch slicing.
+
+Hypothesis generates random I/U/D/truncate event sequences interleaved
+across two same-schema tables (the shape that shares ONE dispatch branch
+after the round-5 signature dedup) plus random contiguous batch
+boundaries; the engine's final per-table states must equal two
+independent serial Oracle replays of each table's slice.  Guards the
+unified plan's per-table isolation: committed-LSN watermarks, truncate
+epoch splits, and the shared cut/group keyed by (t, doc_id) must never
+leak events across tables or depend on where the trigger falls.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pgoutput2json_spark import EVENT_SCHEMA
+from pgoutput2json_spark.streaming.multi import MultiTableCdcEngine, MultiTableOptions
+from tests.oracle import Oracle
+from tests.util import write_jsonl
+
+TABLES = ["public.pa", "public.pb"]
+RELS = {
+    t: f'["{t}",["doc_id",1,25],["tokens",0,1007],["n_tok",0,23],["source",0,25]]'
+    for t in TABLES
+}
+KEYS = ["k0", "k1"]
+
+# one event: (table_idx, key_idx, op, value) — op 3 = truncate
+_event = st.tuples(
+    st.integers(0, len(TABLES) - 1),
+    st.integers(0, len(KEYS) - 1),
+    st.sampled_from(["I", "U", "D", "T"]),
+    st.integers(0, 9),
+)
+
+
+def _to_events(seq):
+    evs, seen = [], set()
+    for lsn, (ti, ki, op, nv) in enumerate(seq, start=1):
+        t = TABLES[ti]
+        e = {"c": op, "w": lsn, "t": t}
+        if t not in seen:
+            # first contact carries the relation message (auto-create)
+            e["s"] = RELS[t]
+            seen.add(t)
+        if op == "D":
+            e["k"] = [KEYS[ki], None, None, None]
+        elif op != "T":
+            e["r"] = [KEYS[ki], [nv, ti], 2, f"s{nv}"]
+        evs.append(e)
+    return evs
+
+
+def _split(events, split_seed):
+    n = len(events)
+    cuts = sorted({split_seed % (n + 1), (split_seed // 7) % (n + 1)})
+    parts, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            parts.append(events[prev:c])
+            prev = c
+    return parts or [events]
+
+
+@pytest.fixture(scope="module")
+def run_multi(spark):
+    def run(batches):
+        root = tempfile.mkdtemp(prefix="multiprop-")
+        try:
+            eng = MultiTableCdcEngine(
+                spark,
+                MultiTableOptions(
+                    warehouse_root=os.path.join(root, "wh"),
+                    events_dir=os.path.join(root, "events"),
+                    checkpoint_dir=os.path.join(root, "ckpt"),
+                ),
+            )
+            for i, batch in enumerate(batches):
+                fp = write_jsonl(batch, eng.opts.events_dir, f"{i:03d}.jsonl")
+                df = spark.read.schema(EVENT_SCHEMA).json(fp)
+                eng.apply_batch(df, epoch_id=i)
+            out = {}
+            for t in eng.tables():
+                out[t] = {
+                    r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+                    for r in eng.engine_for(t).table.read().collect()
+                }
+            return out
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return run
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=12), st.integers(0, 10_000))
+def test_multi_matches_per_table_serial_replay(run_multi, seq, split_seed):
+    events = _to_events(seq)
+    batches = [b for b in _split(events, split_seed) if b]
+    got = run_multi(batches)
+    want = {}
+    for t in TABLES:
+        slice_t = [e for e in events if e["t"] == t]
+        if not slice_t:
+            continue
+        o = Oracle()
+        o.replay(slice_t)
+        want[t] = {
+            k: (list(v["tokens"]), v["n_tok"], v["source"])
+            for k, v in o.table().items()
+        }
+    assert got == want, (
+        f"batches={[len(b) for b in batches]} seq={seq}\n"
+        f"engine={got}\noracle={want}"
+    )
