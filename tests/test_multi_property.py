@@ -32,11 +32,12 @@ RELS = {
 }
 KEYS = ["k0", "k1"]
 
-# one event: (table_idx, key_idx, op, value) — op 3 = truncate
+# one event: (table_idx, key_idx, op, value); "P" = partial update with a
+# TOAST'd tokens slot (unchanged value suppressed on the wire)
 _event = st.tuples(
     st.integers(0, len(TABLES) - 1),
     st.integers(0, len(KEYS) - 1),
-    st.sampled_from(["I", "U", "D", "T"]),
+    st.sampled_from(["I", "U", "D", "T", "P"]),
     st.integers(0, 9),
 )
 
@@ -52,6 +53,9 @@ def _to_events(seq):
             seen.add(t)
         if op == "D":
             e["k"] = [KEYS[ki], None, None, None]
+        elif op == "P":
+            e["c"] = "U"
+            e["r"] = [KEYS[ki], "__TOAST__", 2, f"s{nv}"]
         elif op != "T":
             e["r"] = [KEYS[ki], [nv, ti], 2, f"s{nv}"]
         evs.append(e)
@@ -89,7 +93,11 @@ def run_multi(spark):
             out = {}
             for t in eng.tables():
                 out[t] = {
-                    r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+                    r["doc_id"]: (
+                        list(r["tokens"]) if r["tokens"] is not None else None,
+                        r["n_tok"],
+                        r["source"],
+                    )
                     for r in eng.engine_for(t).table.read().collect()
                 }
             return out
@@ -113,7 +121,11 @@ def test_multi_matches_per_table_serial_replay(run_multi, seq, split_seed):
         o = Oracle()
         o.replay(slice_t)
         want[t] = {
-            k: (list(v["tokens"]), v["n_tok"], v["source"])
+            k: (
+                list(v["tokens"]) if v["tokens"] is not None else None,
+                v["n_tok"],
+                v["source"],
+            )
             for k, v in o.table().items()
         }
     assert got == want, (
