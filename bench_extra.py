@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Round-6 measurement harness (bench.py is FROZEN for measurement; this
+file holds the extra instrumentation the optimization round needs).
+
+Modes:
+  --pipeline [names...]   time pipeline queries (same .count() methodology as
+                          bench.py), N repeats, cold + min reported
+  --plans [names...]      dump .explain('formatted') for queries into plans/r06/
+  --writeamp MODE         one writeamp stream run with per-epoch commit
+                          summaries (timing.*_ms phases) printed
+  --replay FMT            one replay (parquet|jsonl|jsonl-default) with the
+                          commit summary's phase timings
+  --multi                 one multi-table replay with per-epoch timing
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_EVENTS as in bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import bench  # noqa: E402  (reuses build_spark/ensure_* — read-only use)
+
+SF_DIR = bench.SF_DIR
+CPUS = bench.CPUS
+
+
+def _spark():
+    s = bench.build_spark(CPUS)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def profile_pipeline(names: list[str] | None, repeats: int = 3) -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    qs = entrymod.queries()
+    todo = names or bench.PIPELINE_QUERIES
+    out = {}
+    for name in todo:
+        samples = []
+        for rep in range(repeats):
+            spark.sparkContext.setJobDescription(f"{name} rep{rep}")
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            samples.append(round(time.time() - t0, 2))
+        out[name] = {"cold": samples[0], "min": min(samples),
+                     "samples": samples, "rows": n}
+        print(f"{name}: cold={samples[0]} min={min(samples)} rows={n}",
+              file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def dump_plans(names: list[str] | None, suffix: str = "before") -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    qs = entrymod.queries()
+    todo = names or bench.PIPELINE_QUERIES
+    os.makedirs("plans/r06", exist_ok=True)
+    for name in todo:
+        try:
+            df = qs[name](spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"explain failed: {e}"
+        with open(f"plans/r06/{name}_{suffix}.txt", "w") as f:
+            f.write(plan)
+        print(f"wrote plans/r06/{name}_{suffix}.txt", file=sys.stderr)
+    spark.stop()
+
+
+def writeamp_one(mode: str) -> None:
+    from pgoutput2json_spark.streaming.engine import CdcEngine, EngineOptions
+
+    spark = _spark()
+    n_events = max(bench.N_EVENTS // 8, 1000)
+    wa_dir = bench.ensure_writeamp_events(spark, n_events, bench.FORMAT)
+    n_files = max(CPUS * 2, 16)
+    work = f"{bench.CACHE}/writeamp-x-{mode}-{os.getpid()}"
+    import shutil
+    shutil.rmtree(work, ignore_errors=True)
+    summaries = []
+    eng = CdcEngine(
+        spark,
+        EngineOptions(
+            table_root=f"{work}/table",
+            events_dir=wa_dir,
+            checkpoint_dir=f"{work}/ckpt",
+            event_format=bench.FORMAT,
+            bucket_count=64,
+            merge_mode=mode,
+            max_files_per_trigger=max(n_files // 8, 1),
+            post_commit_hook=summaries.append,
+        ),
+    )
+    t0 = time.time()
+    eng.run_until_drained(1200)
+    dt = time.time() - t0
+    for s in summaries:
+        ts = {k: v for k, v in s.items() if k.startswith("timing.")}
+        print(f"epoch {s.get('epoch')}: mode={s.get('merge-mode')} {ts}",
+              file=sys.stderr)
+    print(json.dumps({"mode": mode, "sec": round(dt, 2),
+                      "epochs": len(summaries),
+                      "timings": [
+                          {k: v for k, v in s.items()
+                           if k.startswith("timing.") or k in ("epoch", "merge-mode")}
+                          for s in summaries]}))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+def replay_one(fmt: str) -> None:
+    spark = _spark()
+    n = bench.N_EVENTS
+    ev_dir = bench.ensure_events(spark, n, fmt)
+    r = bench.run_cdc_replay(spark, ev_dir, fmt, n, f"x-{fmt}-{CPUS}")
+    print(json.dumps(r))
+    spark.stop()
+
+
+def multi_one() -> None:
+    spark = _spark()
+    n = max(bench.N_EVENTS // 2, 4000)
+    mt_dir = bench.ensure_multi_events(spark, n, bench.FORMAT)
+    st_dir = bench.ensure_events(spark, n, bench.FORMAT)
+    for rep in range(2):
+        m = bench.run_cdc_multi_table(spark, mt_dir, bench.FORMAT, n)
+        s = bench.run_cdc_replay(spark, st_dir, bench.FORMAT, n, f"xmt-{CPUS}")
+        print(json.dumps({"rep": rep, "multi": m, "single": s,
+                          "ratio": round(m["events_per_sec"] /
+                                         max(s["events_per_sec"], 1), 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if not args:
+        sys.exit("usage: bench_extra.py --pipeline|--plans|--writeamp MODE|--replay FMT|--multi")
+    if args[0] == "--pipeline":
+        profile_pipeline(args[1:] or None)
+    elif args[0] == "--plans":
+        suffix = "before"
+        rest = args[1:]
+        if rest and rest[0] == "--after":
+            suffix, rest = "after", rest[1:]
+        dump_plans(rest or None, suffix)
+    elif args[0] == "--writeamp":
+        writeamp_one(args[1])
+    elif args[0] == "--replay":
+        replay_one(args[1])
+    elif args[0] == "--multi":
+        multi_one()
+    else:
+        sys.exit(f"unknown mode {args[0]}")

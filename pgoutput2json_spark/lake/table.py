@@ -272,10 +272,21 @@ class LakeTable:
                 out.extend(os.path.join(self.root, f) for f in fl)
         return out
 
-    def _read_state(self, snap: dict, buckets: list[int] | None) -> DataFrame:
+    def _read_state(
+        self, snap: dict, buckets: list[int] | None, keys: DataFrame | None = None
+    ) -> DataFrame:
         """Materialize the logical table state of one snapshot: base files
         overlaid with merge-on-read deltas (latest ``__dv`` per key wins;
-        ``__deleted`` tombstones drop the key)."""
+        ``__deleted`` tombstones drop the key).
+
+        ``keys`` (optional): a single-column ``__k`` DataFrame of merge-key
+        strings.  When given, base and delta scans are pre-filtered with a
+        broadcast LEFT SEMI join on the key BEFORE the delta fold — the
+        merge-on-read apply path only needs the prior state of the batch's
+        own keys, so untouched rows are dropped map-side at the scan instead
+        of being folded and shuffled every epoch (guide §3.2: reduce the big
+        side before shuffling it).  Callers guarantee the key set is small
+        enough to broadcast."""
         schema = T.StructType(
             [T.StructField(c["name"], _parse_type(c["type"]), True)
              for c in snap["schema"]]
@@ -283,10 +294,18 @@ class LakeTable:
         sel = set(map(str, buckets)) if buckets is not None else None
         base_files = self._listed_files(snap, "files", sel)
         delta_files = self._listed_files(snap, "deltas", sel)
+
+        def keys_semi(df: DataFrame) -> DataFrame:
+            if keys is None:
+                return df
+            return df.join(
+                F.broadcast(keys), self.key_expr() == F.col("__k"), "left_semi"
+            )
+
         # Explicit schema: old files read through the current schema
         # (missing column -> null, int32 -> int64 upcast) = metadata-only
         # evolution, verified on Spark 4.1's vectorized parquet reader.
-        base = (
+        base = keys_semi(
             self.spark.read.schema(schema).parquet(*base_files)
             if base_files
             else self.spark.createDataFrame([], schema)
@@ -300,7 +319,7 @@ class LakeTable:
             + [T.StructField("__deleted", T.BooleanType(), True),
                T.StructField("__dv", T.LongType(), True)]
         )
-        d = self.spark.read.schema(dschema).parquet(*delta_files)
+        d = keys_semi(self.spark.read.schema(dschema).parquet(*delta_files))
         # one folded row per key per delta commit -> latest commit wins;
         # map-side combinable, proportional to live delta rows only
         latest = d.groupBy(*key_cols).agg(
@@ -313,10 +332,14 @@ class LakeTable:
         base_kept = base.join(latest.select(*key_cols), key_cols, "left_anti")
         return base_kept.unionByName(live)
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, keys: DataFrame | None = None
+    ) -> DataFrame:
         """Read current table state; optionally only the given buckets
-        (partition pruning — only those buckets' files are listed)."""
-        return self._read_state(self.snapshot(), buckets)
+        (partition pruning — only those buckets' files are listed) and/or
+        only the given merge keys (``keys``: single-column ``__k`` frame,
+        broadcast-semi-filtered at the scan — see :meth:`_read_state`)."""
+        return self._read_state(self.snapshot(), buckets, keys)
 
     def touched_buckets(self) -> list[int]:
         snap = self.snapshot()
@@ -340,8 +363,14 @@ class LakeTable:
         commit_dir = f"data/{prefix}{version_hint}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, commit_dir)
         (
+            # explicit bucket_count partitions (not spark.sql.shuffle.
+            # partitions): one write task per bucket modulo hash collisions,
+            # so the dynamic-partition writer opens ~1 file per task instead
+            # of interleaving several buckets per task — measured 1.6s ->
+            # 1.0s per 62k-row epoch write on local[32]; at scale the write
+            # parallelism should track the bucket spec, not the shuffle conf
             df.withColumn("__bucket", self.bucket_expr())
-            .repartition(F.col("__bucket"))
+            .repartition(self.bucket_count, F.col("__bucket"))
             .sortWithinPartitions(self.bucket_column)
             .write.partitionBy("__bucket")
             .parquet(out)

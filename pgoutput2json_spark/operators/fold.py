@@ -111,6 +111,65 @@ def snapshot_cut(
     ).drop("cut")
 
 
+#: batches at or below this many events may fuse the snapshot cut INTO the
+#: group aggregation (``group_events_with_cut``): one hash aggregate, no
+#: separate cuts job / broadcast / join.  The trade is that the aggregation
+#: collects PRE-cut events per key (the cut slices the sorted array
+#: afterwards), so a hot key's array is bounded only by the batch size —
+#: fine for micro-batch triggers, wrong for backfill-size batches, where the
+#: two-pass cut (map-side-combined aggregate + broadcast join) stays.
+FUSED_CUT_MAX_EVENTS = 1_000_000
+
+
+def group_events_with_cut(
+    events: DataFrame,
+    field_names: list[str],
+    is_snapshot: Column | None = None,
+) -> DataFrame:
+    """Fused ``snapshot_cut`` + ``group_events`` for small batches: ONE
+    aggregation collects each key's sorted events and its last-snapshot
+    order; the cut is then an array slice in the output projection.  Output
+    (rows, values, schema) is identical to the two-pass path — the fold
+    applies events serially either way, the cut only discards provably
+    superseded prefixes — but the per-epoch plan loses a scan, a shuffle-less
+    broadcast build and a join, which at micro-batch sizes are fixed cost,
+    not data cost."""
+    if is_snapshot is None:
+        all_set = F.lit(True)
+        for n in field_names:
+            all_set = all_set & F.col(f"f_{n}.set")
+        is_snapshot = (F.col("op") == "D") | ((F.col("op") == "U") & all_set)
+    ord_long = F.col("lsn") * 2 + F.col("sub")
+    ev = F.struct(
+        F.col("lsn"),
+        F.col("sub"),
+        F.col("op"),
+        F.struct(*[F.col(f"f_{n}").alias(n) for n in field_names]).alias("v"),
+    )
+    g = events.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(ev)).alias("__evs_all"),
+        F.max(F.when(is_snapshot, ord_long)).alias("__cut"),
+    )
+    cut = F.col("__cut")
+    evs = F.when(cut.isNull(), F.col("__evs_all")).otherwise(
+        F.filter(F.col("__evs_all"), lambda e: e["lsn"] * 2 + e["sub"] >= cut)
+    )
+    out = g.select("doc_id", evs.alias("evs"))
+    n_of = lambda op: F.size(  # noqa: E731
+        F.filter(F.col("evs"), lambda e: e["op"] == op)
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "evs",
+        F.size("evs").cast("long").alias("n_events"),
+        F.element_at("evs", 1)["lsn"].alias("min_lsn"),
+        F.element_at("evs", -1)["lsn"].alias("max_lsn"),
+        n_of("I").alias("n_i"),
+        n_of("U").alias("n_u"),
+        n_of("D").alias("n_d"),
+    )
+
+
 def group_events(events: DataFrame, field_names: list[str]) -> DataFrame:
     """One row per key: LSN-ordered residual event array + lineage counters."""
     ev = F.struct(

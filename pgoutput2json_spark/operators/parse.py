@@ -189,6 +189,41 @@ def decode_fields(df: DataFrame, target_fields: list[dict]) -> DataFrame:
     return df.select(*cols)
 
 
+def decode_grouped_events(df: DataFrame, target_fields: list[dict]) -> DataFrame:
+    """Typed decode of a GROUPED batch whose ``evs`` arrays still carry raw
+    slot text (the fused cut+group path, fold.group_events_with_cut): one
+    array ``transform`` per key rewrites each surviving event's (set, val)
+    structs to typed values — the same survivors-only decode guarantee as
+    ``decode_fields``, applied after the in-array cut instead of after the
+    join-based cut."""
+    from pgoutput2json_spark.lake.table import _parse_type
+
+    by_name = {f["name"]: _parse_type(f["type"]) for f in target_fields}
+
+    def decode_ev(e: Column) -> Column:
+        vals = []
+        for n, t in by_name.items():
+            s = e["v"][n]
+            vals.append(
+                F.struct(
+                    s["set"].alias("set"),
+                    F.when(s["set"], _parse_slot(s["val"], t)).alias("val"),
+                ).alias(n)
+            )
+        return F.struct(
+            e["lsn"].alias("lsn"),
+            e["sub"].alias("sub"),
+            e["op"].alias("op"),
+            F.struct(*vals).alias("v"),
+        )
+
+    cols = [
+        F.transform(F.col(c), decode_ev).alias(c) if c == "evs" else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
 def parse_default_events(
     events: DataFrame,
     versions: list[tuple[int, RelationSchema]],

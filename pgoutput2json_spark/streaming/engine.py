@@ -39,10 +39,16 @@ from pgoutput2json_spark.operators.dedup import (
     salted_lww_reduce_raw,
 )
 from pgoutput2json_spark.operators.explode import explode_key_updates
-from pgoutput2json_spark.operators.fold import group_events, snapshot_cut
+from pgoutput2json_spark.operators.fold import (
+    FUSED_CUT_MAX_EVENTS,
+    group_events,
+    group_events_with_cut,
+    snapshot_cut,
+)
 from pgoutput2json_spark.operators.merge import merge_deltas, merge_groups
 from pgoutput2json_spark.operators.parse import (
     decode_fields,
+    decode_grouped_events,
     decode_raw_default_rows,
     decode_raw_rows,
     parse_default_events,
@@ -556,6 +562,16 @@ class CdcEngine:
                         flat = decode_fields(flat, fields)
                     grouped = salted_lww_reduce(flat, field_names,
                                                 salt=skew_salt).persist()
+            elif not lazy_env and n_events <= FUSED_CUT_MAX_EVENTS:
+                # micro-batch fast path: ONE aggregation fuses the snapshot
+                # cut into the group (fold.group_events_with_cut) — drops
+                # the separate cuts scan + broadcast + join per epoch, which
+                # at micro-batch sizes are fixed cost, not data cost.  The
+                # survivors-only typed decode moves after the in-array cut.
+                grouped = group_events_with_cut(flat, field_names)
+                if deferred:
+                    grouped = decode_grouped_events(grouped, fields)
+                grouped = grouped.persist()
             else:
                 lazy_snap = (
                     (F.col("op") == "D")
@@ -706,13 +722,30 @@ class CdcEngine:
         table, opts = self.table, self.opts
         buckets = sorted(int(r["bucket"]) for r in lineage_rows)
         replaced = table.touched_buckets() if truncating else buckets
+        use_mor = self.decide_mor(lineage_rows, truncating)
+        # Merge-on-read only needs the prior state of the BATCH's keys (the
+        # left join in merge_deltas keeps no target-only rows), so the
+        # target read is pre-filtered with a broadcast semi-join on the
+        # grouped batch's keys: untouched rows drop map-side at the scan and
+        # the per-epoch delta fold/shuffle is proportional to the batch, not
+        # the table (guide §3.2).  The key count is already in hand from the
+        # lineage pass; the same broadcast cap as the snapshot-cut applies.
+        # Copy-on-write keeps the full bucket read (pass-through rows are
+        # rewritten into the replacement files).
+        keys = None
+        if use_mor and not truncating:
+            from pgoutput2json_spark.operators.fold import (
+                BROADCAST_CUTS_MAX_KEYS,
+            )
+
+            n_keys = sum(int(r["n_keys"]) for r in lineage_rows)
+            if 0 < n_keys <= BROADCAST_CUTS_MAX_KEYS:
+                keys = grouped.select(F.col("doc_id").alias("__k"))
         target = (
             self.spark.createDataFrame([], table.spark_schema())
             if truncating
-            else table.read(buckets)
+            else table.read(buckets, keys=keys)
         )
-
-        use_mor = self.decide_mor(lineage_rows, truncating)
         obs = Observation(f"merge-{epoch_id}-{uuid.uuid4().hex[:6]}")
         expected_version = table.current_version()
         if use_mor:

@@ -855,7 +855,12 @@ class MultiTableCdcEngine:
         )
         try:
             (
-                unioned.repartition(F.col("__tbl"), F.col("__bucket"))
+                # one task per (table, bucket) partition value modulo hash
+                # collisions (same rationale as LakeTable.write_data_files)
+                unioned.repartition(
+                    len(cohort) * self.opts.bucket_count,
+                    F.col("__tbl"), F.col("__bucket"),
+                )
                 .write.partitionBy("__tbl", "__bucket")
                 .parquet(staging)
             )
@@ -906,7 +911,24 @@ class MultiTableCdcEngine:
             eng = engines[t]
             if lin_by_table.get(t):
                 buckets = sorted(int(r["bucket"]) for r in lin_by_table[t])
-                tgt = eng.table.read(buckets)
+                # MoR only needs the prior state of the batch's own keys
+                # (left join below keeps no target-only rows): semi-filter
+                # the target scan on the grouped batch's keys, same as the
+                # single-table prepare_merge (guide §3.2); the key count is
+                # already in hand from the lineage pass.
+                keys = None
+                if use_mor:
+                    from pgoutput2json_spark.operators.fold import (
+                        BROADCAST_CUTS_MAX_KEYS,
+                    )
+
+                    n_keys = sum(int(r["n_keys"]) for r in lin_by_table[t])
+                    if 0 < n_keys <= BROADCAST_CUTS_MAX_KEYS:
+                        keys = (
+                            grouped_all.filter(F.col("t") == t)
+                            .select(F.col("doc_id").alias("__k"))
+                        )
+                tgt = eng.table.read(buckets, keys=keys)
             else:
                 tgt = self.spark.createDataFrame([], eng.table.spark_schema())
             cols = [
@@ -1041,7 +1063,12 @@ class MultiTableCdcEngine:
         )
         try:
             (
-                out.repartition(F.col("__tbl"), F.col("__bucket"))
+                # one task per (table, bucket) partition value modulo hash
+                # collisions (same rationale as LakeTable.write_data_files)
+                out.repartition(
+                    len(tables) * self.opts.bucket_count,
+                    F.col("__tbl"), F.col("__bucket"),
+                )
                 .write.partitionBy("__tbl", "__bucket")
                 .parquet(staging)
             )
