@@ -255,6 +255,7 @@ class LakeTable:
             "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": cur["files"],
             "deltas": cur.get("deltas", {}),
+            "delta_floor": cur.get("delta_floor", {}),
             "rows": cur.get("rows", {}),
             "summary": {"operation": "evolve", **(summary or {})},
             "properties": cur["properties"],
@@ -293,7 +294,11 @@ class LakeTable:
         )
         sel = set(map(str, buckets)) if buckets is not None else None
         base_files = self._listed_files(snap, "files", sel)
-        delta_files = self._listed_files(snap, "deltas", sel)
+        # one delta file may be listed under several buckets (the engine
+        # writes ONE batch-sized delta file per epoch instead of one file
+        # per touched bucket): dedupe the scan list, then re-validate rows
+        # per bucket below (bucket membership + the per-bucket delta floor)
+        delta_files = list(dict.fromkeys(self._listed_files(snap, "deltas", sel)))
 
         def keys_semi(df: DataFrame) -> DataFrame:
             if keys is None:
@@ -320,6 +325,43 @@ class LakeTable:
                T.StructField("__dv", T.LongType(), True)]
         )
         d = keys_semi(self.spark.read.schema(dschema).parquet(*delta_files))
+        # Row validity for shared (multi-bucket) delta files:
+        # - bucket pruning must drop foreign-bucket rows the shared file
+        #   carries (a per-bucket file list alone no longer implies it);
+        # - a bucket whose base was rewritten after the delta row's commit
+        #   (CoW replace / compaction) has a DELTA FLOOR: rows at or below
+        #   it are superseded by the newer base and must not resurface via
+        #   another bucket's listing of the same file.
+        from pgoutput2json_spark.operators.parse import composite_key
+
+        row_bucket = F.pmod(
+            F.xxhash64(
+                composite_key(
+                    [F.col(c).cast("string") for c in
+                     (snap.get("key_columns") or [snap["bucket_column"]])]
+                ).cast("string")
+            ),
+            F.lit(int(snap["bucket_count"])),
+        ).cast("int")
+        if sel is not None:
+            d = d.filter(row_bucket.isin([int(b) for b in sel]))
+        floors = {
+            int(b): int(v)
+            for b, v in (snap.get("delta_floor") or {}).items()
+            if sel is None or str(b) in sel
+        }
+        if floors:
+            floor_expr = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[x for b, v in sorted(floors.items())
+                          for x in (F.lit(b), F.lit(v))]
+                    ),
+                    row_bucket,
+                ),
+                F.lit(-1),
+            )
+            d = d.filter(F.col("__dv") > floor_expr)
         # one folded row per key per delta commit -> latest commit wins;
         # map-side combinable, proportional to live delta rows only
         latest = d.groupBy(*key_cols).agg(
@@ -385,16 +427,51 @@ class LakeTable:
                     files.setdefault(b, []).append(f"{commit_dir}/{ent}/{fn}")
         return files
 
-    def write_delta_files(self, df: DataFrame, version_hint: int) -> dict[str, list[str]]:
+    #: target rows per shared delta file (~a few hundred MB at typical CDC
+    #: row widths — guide §6 output sizing); epochs smaller than this write
+    #: ONE file instead of one file per touched bucket
+    DELTA_ROWS_PER_FILE = 2_000_000
+
+    def write_delta_files(
+        self,
+        df: DataFrame,
+        version_hint: int,
+        buckets: list[int] | None = None,
+        n_rows: int | None = None,
+    ) -> dict[str, list[str]]:
         """Write a merge-on-read delta log: ``df`` carries the table columns
         plus ``__deleted`` tombstone flags (one folded row per touched key);
         the commit version is baked in as ``__dv`` so all delta files of a
-        bucket are read in ONE parquet scan and folded by ``max_by(__dv)``."""
-        return self.write_data_files(
-            df.withColumn("__dv", F.lit(int(version_hint)).cast("long")),
-            version_hint,
-            prefix="d",
+        bucket are read in ONE parquet scan and folded by ``max_by(__dv)``.
+
+        With ``buckets`` (the batch's touched buckets) the delta log is
+        written as a FEW batch-sized files (``n_rows`` sizes the count)
+        registered under every touched bucket, instead of one tiny file per
+        bucket per epoch: a 64-bucket stream at micro-batch sizes was
+        writing 64 ~100 KB files per epoch and re-opening e*64 files by
+        epoch e on the read side.  Shared files are re-validated per row on
+        read (bucket membership + delta floor, ``_read_state``)."""
+        dv = df.withColumn("__dv", F.lit(int(version_hint)).cast("long"))
+        if buckets is None:
+            return self.write_data_files(dv, version_hint, prefix="d")
+        commit_dir = f"data/d{version_hint}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, commit_dir)
+        k = max(
+            1,
+            min(
+                self.bucket_count,
+                -(-int(n_rows) // self.DELTA_ROWS_PER_FILE)
+                if n_rows
+                else 1,
+            ),
         )
+        dv.repartition(k).write.parquet(out)
+        files = [
+            f"{commit_dir}/{fn}"
+            for fn in sorted(os.listdir(out))
+            if fn.endswith(".parquet")
+        ]
+        return {str(b): list(files) for b in buckets}
 
     def _rows_of(self, files: dict[str, list[str]]) -> dict[str, int]:
         """Per-bucket row counts from the parquet footers — driver-side
@@ -455,11 +532,17 @@ class LakeTable:
             b: list(fl) for b, fl in cur.get("deltas", {}).items()
         }
         rows = {} if truncate_all else dict(cur.get("rows", {}))
+        floors = {} if truncate_all else dict(cur.get("delta_floor", {}))
         for b in map(str, replaced_buckets):
             files.pop(b, None)
             rows.pop(b, None)
             if clear_deltas:
                 deltas.pop(b, None)
+                # the new base supersedes every delta row committed so far
+                # for this bucket; the floor keeps superseded rows from
+                # resurfacing through a SHARED delta file another bucket
+                # still lists (write_delta_files with buckets=)
+                floors[b] = cur["version"]
         for b, fl in new_files.items():
             if fl:
                 files[str(b)] = fl
@@ -477,6 +560,7 @@ class LakeTable:
             "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": files,
             "deltas": deltas,
+            "delta_floor": floors,
             "rows": rows,
             "summary": dict(summary or {}),
             "properties": props,
@@ -517,6 +601,7 @@ class LakeTable:
             "key_columns": list(cur.get("key_columns") or [cur["bucket_column"]]),
             "files": dict(cur["files"]),
             "deltas": deltas,
+            "delta_floor": dict(cur.get("delta_floor", {})),
             "rows": dict(cur.get("rows", {})),
             "summary": dict(summary or {}),
             "properties": props,

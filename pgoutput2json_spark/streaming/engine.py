@@ -759,13 +759,17 @@ class CdcEngine:
             "buckets": buckets,
             "replaced": replaced,
             "expected_version": expected_version,
+            "n_keys": sum(int(r["n_keys"]) for r in lineage_rows),
         }
 
     def write_prepared(self, prep: dict) -> dict[str, list[str]]:
         """Write one prepared merge result as this table's own job."""
         if prep["use_mor"]:
             return self.table.write_delta_files(
-                prep["result"], prep["expected_version"] + 1
+                prep["result"],
+                prep["expected_version"] + 1,
+                buckets=prep["buckets"],
+                n_rows=prep.get("n_keys"),
             )
         return self.table.write_data_files(
             prep["result"], prep["expected_version"] + 1
