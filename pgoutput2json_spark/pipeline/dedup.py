@@ -119,10 +119,15 @@ def ngram_jaccard_pairs(
     (few shingles can exceed a large df), so it broadcasts.
     """
     docs = spread_small_input(docs)
+    # persist the inverted index ONCE: (id, shingle-hash) pairs are consumed
+    # by the hot-shingle aggregate, the per-doc size aggregate and BOTH
+    # self-join sides — without the cache each consumer re-runs the text
+    # normalization + shingle explode + md5 (the r5 plan scanned the corpus
+    # 16 times); the cached rows are metadata-sized (id + 32-char hash)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).select("id", F.md5("shingle").alias("sh"))
+    ).select("id", F.md5("shingle").alias("sh")).persist()
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -130,7 +135,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -211,9 +216,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # persist: both self-join sides would otherwise re-run the whole
+    # shingle -> K-minhash -> band pipeline (metadata-sized rows)
     banded = sigs.select("id", F.explode(band_structs).alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    )
+    ).persist()
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -225,9 +232,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # persist: the verify join reads the per-doc shingle arrays twice
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs")
-    )
+    ).persist()
     j = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sa"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sb"), "id_b")
@@ -276,6 +284,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     nchunks: int | None = None,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming — EXACT.
 
@@ -287,6 +296,15 @@ def simhash_pairs(
     runs after.  Wider chunks (fewer chunks) shrink the candidate set, so
     small ``max_hamming`` is both exact and cheap; for large distances use
     MinHash-LSH instead.
+
+    ``max_chunk_df`` (default off — exactness preserved): the 100 TB hot-
+    bucket guard its siblings already have (``max_df`` / ``max_bucket``).
+    A corpus heavy in near-identical short docs can put n docs in one
+    (chunk, value) bucket — n(n-1)/2 join rows.  With a cap, chunk values
+    whose bucket exceeds it are anti-joined out BEFORE the self-join and
+    the dropped-bucket count is printed (no silent truncation); a pair is
+    still found through any of its other, non-hot chunks, so only pairs
+    ALL of whose matching chunks are hot are lost.
     """
     s = simhash(docs, bits, text_col, id_col)
     if nchunks is None:
@@ -311,9 +329,25 @@ def simhash_pairs(
             for c, (start, width) in enumerate(spans)
         ]
     )
+    # persist: both self-join sides would otherwise re-run the whole
+    # word-explode -> md5 -> 32-bit-sum simhash pipeline (metadata rows)
     cs = s.select("id", "simhash", F.explode(chunks).alias("e")).select(
         "id", "simhash", F.col("e.c").alias("c"), F.col("e.v").alias("v")
-    )
+    ).persist()
+    if max_chunk_df is not None:
+        hot = (
+            cs.groupBy("c", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_chunk_df)
+            .select("c", "v")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            print(
+                f"simhash_pairs: dropping {n_hot} hot (chunk, value) "
+                f"buckets over max_chunk_df={max_chunk_df}"
+            )
+        cs = cs.join(F.broadcast(hot), ["c", "v"], "left_anti").persist()
     a, b = cs.alias("a"), cs.alias("b")
     cand = (
         a.join(

@@ -359,30 +359,62 @@ def ann_ivf_topk(
         )
     else:
         cents = ivf_centroids(vectors, n_centroids, vec_col, id_col)
-    assigned = ivf_assign(vectors, cents, vec_col, id_col)
 
     qm = np.stack(queries_pd["q_vec"].to_numpy()).astype(np.float64)
     cm = np.stack(cents["c_vec"].to_numpy()).astype(np.float64)
     cids = cents["c_id"].to_numpy()
     qscores = _cos_matrix(qm, cm)  # (Q, C) rounded
-    probes = []  # driver-side: Q*C is tiny (probe lists, not data)
-    for qi, q_id in enumerate(queries_pd["q_id"].to_numpy()):
+    qids = queries_pd["q_id"].to_numpy()
+    # probe lists driver-side (Q*C is tiny), inverted to list -> query rows
+    by_list: dict[int, list[int]] = {}
+    for qi, q_id in enumerate(qids):
         order = np.lexsort((cids, -qscores[qi]))[:nprobe]  # score desc, c_id asc
-        probes.extend((int(q_id), int(cids[ci])) for ci in order)
-    probe_df = spark.createDataFrame(probes, "q_id long, list_id long")
-    q_df = spark.createDataFrame(
-        [(int(q), [float(x) for x in v])
-         for q, v in zip(queries_pd["q_id"], queries_pd["q_vec"])],
-        "q_id long, q_vec array<float>",
-    )
+        for ci in order:
+            by_list.setdefault(int(cids[ci]), []).append(qi)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bcm = spark.sparkContext.broadcast(cm)
+    bcid = spark.sparkContext.broadcast(cids)
+    bqn = spark.sparkContext.broadcast(qn)
+    bqid = spark.sparkContext.broadcast(qids)
+    blists = spark.sparkContext.broadcast(by_list)
 
-    cand = assigned.join(F.broadcast(probe_df), "list_id").join(
-        F.broadcast(q_df), "q_id"
-    )
-    scored = cand.select(
-        "q_id",
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("score"),
+    def assign_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE pass fuses list assignment and candidate scoring: each batch
+        # assigns its rows to lists (GEMM vs broadcast centroids, identical
+        # rounded-argmax semantics to ivf_assign) and immediately GEMM-scores
+        # rows of probed lists against the probing queries — the corpus
+        # vectors never cross back into the JVM and the probe/query joins +
+        # the per-row cosine fold disappear (the r5 plan re-emitted every
+        # embedding through Arrow and folded 64-dim cosines per candidate).
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            lists = bcid.value[np.argmax(_cos_matrix(m, bcm.value), axis=1)]
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for lst, qrows in blists.value.items():
+                mask = lists == lst
+                if not mask.any():
+                    continue
+                sc = np.round(mn[mask] @ bqn.value[qrows].T, 4)  # (rows, q)
+                n_rows = int(mask.sum())
+                out_q.append(np.repeat(bqid.value[qrows], n_rows))
+                out_v.append(np.tile(ids[mask], len(qrows)))
+                out_s.append(sc.T.ravel())
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        assign_score, schema=f"q_id long, {id_col} long, score double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(id_col))
     return (
@@ -420,24 +452,38 @@ def cosine_neardup_pairs(
     from pgoutput2json_spark.pipeline.dedup import spread_small_input
 
     vectors = spread_small_input(vectors)  # SRP projections evaluate per side
-    bands_df = None
-    for b in range(bands):
-        vb = vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.lit(b).alias("band"),
-            srp_bucket(F.col(vec_col), dim, planes, seed_offset=b * planes).alias("bucket"),
-        )
-        bands_df = vb if bands_df is None else bands_df.unionByName(vb)
+    # ONE narrow pass computes every band's bucket (explode of per-band
+    # structs), persisted as (id, band, bucket) METADATA ONLY — the r5 plan
+    # re-evaluated the scan + 24 SRP dot-product folds once per union
+    # branch per self-join side per consumer (48 scans / 54 exchanges at
+    # 3 bands with the hot-bucket guard); vectors never enter the self-join
+    # or the dedup shuffle (guide §2.3/§8: shuffle keys, not payloads — the
+    # payload is re-attached to the much smaller candidate set afterwards).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                srp_bucket(
+                    F.col(vec_col), dim, planes, seed_offset=b * planes
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        vectors.select(F.col(id_col), F.explode(band_structs).alias("e"))
+        .select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+        .persist()
+    )
     if max_bucket is not None:
         hot = (
-            bands_df.groupBy("band", "bucket")
+            banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_bucket)
             .select("band", "bucket")
         )
-        bands_df = bands_df.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, b_ = bands_df.alias("a"), bands_df.alias("b")
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b_,
@@ -448,13 +494,15 @@ def cosine_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])  # union of bands
     )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),

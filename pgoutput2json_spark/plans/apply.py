@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 from pgoutput2json_spark.operators.fold import (
     fold_final_state,
     group_events,
+    group_events_with_cut,
     snapshot_cut,
 )
 
@@ -29,6 +30,7 @@ def apply_change_events(
     key: str,
     target: DataFrame | None = None,
     state_key: bool = False,
+    fused: bool = True,
 ) -> DataFrame:
     """Serial-apply-equivalent fold of ``events`` over ``target`` (empty if
     None).  Events must already carry resolved keys in column ``doc_id``
@@ -36,10 +38,18 @@ def apply_change_events(
 
     ``state_key=True`` emits the key column from the folded state instead of
     the merge key — required when the merge key is a COMPOSITE (KEY_SEP
-    join) that doesn't equal any single column's value."""
+    join) that doesn't equal any single column's value.
+
+    ``fused=True`` (default) runs the snapshot cut inside the group
+    aggregation (fold.group_events_with_cut — identical output, one pass,
+    no cuts broadcast/join); pass False for backfill-size batches where a
+    hot key's pre-cut event list must not be collected."""
     field_names = [n for n, _ in fields]
-    flat = snapshot_cut(events, field_names, n_events_hint=0)
-    grouped = group_events(flat, field_names)
+    if fused:
+        grouped = group_events_with_cut(events, field_names)
+    else:
+        flat = snapshot_cut(events, field_names, n_events_hint=0)
+        grouped = group_events(flat, field_names)
 
     spark = events.sparkSession
     if target is None:
@@ -47,7 +57,17 @@ def apply_change_events(
         target = spark.createDataFrame([], schema)
 
     t, u = target.alias("t"), grouped.alias("u")
-    joined = t.join(u, F.col(f"t.{key}") == F.col("u.doc_id"), "full_outer")
+    # compare as STRINGS: bigint keys stringify canonically, and a composite
+    # (KEY_SEP) event key vs a typed target column must not go through ANSI
+    # numeric coercion — whether the implicit cast(string as bigint) was ever
+    # evaluated depended on the physical plan (empty-relation elimination),
+    # so a malformed composite key could throw under one AQE plan and not
+    # another.  Explicit string equality is plan-independent.
+    joined = t.join(
+        u,
+        F.col(f"t.{key}").cast("string") == F.col("u.doc_id").cast("string"),
+        "full_outer",
+    )
     t_exists = F.col(f"t.{key}").isNotNull()
     init = F.struct(
         t_exists.alias("exists"),

@@ -6,7 +6,8 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = (SparkSession.builder.master("local[8]")
