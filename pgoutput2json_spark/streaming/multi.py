@@ -208,6 +208,42 @@ def _group_events_raw_multi(flat: DataFrame) -> DataFrame:
     )
 
 
+def _group_events_raw_multi_with_cut(flat: DataFrame) -> DataFrame:
+    """Fused snapshot-cut + group for micro-batch-sized publications (the
+    multi twin of fold.group_events_with_cut): ONE aggregation keyed
+    (t, doc_id) collects each key's sorted raw events and its last-snapshot
+    order; the cut is an array slice in the projection.  Output is
+    identical to ``snapshot_cut(keys=('t','doc_id'))`` ->
+    ``_group_events_raw_multi`` — the per-epoch plan loses the cuts
+    scan/parse, the broadcast build and the join."""
+    ord_long = F.col("lsn") * 2 + F.col("sub")
+    is_snap = (F.col("op") == "D") | ((F.col("op") == "U") & F.col("full_row"))
+    ev = F.struct(F.col("lsn"), F.col("sub"), F.col("op"), F.col("r"))
+    g = flat.groupBy("t", "doc_id").agg(
+        F.sort_array(F.collect_list(ev)).alias("__evs_all"),
+        F.max(F.when(is_snap, ord_long)).alias("__cut"),
+    )
+    cut = F.col("__cut")
+    evs = F.when(cut.isNull(), F.col("__evs_all")).otherwise(
+        F.filter(F.col("__evs_all"), lambda e: e["lsn"] * 2 + e["sub"] >= cut)
+    )
+    out = g.select("t", "doc_id", evs.alias("evs"))
+    n_of = lambda op: F.size(  # noqa: E731
+        F.filter(F.col("evs"), lambda e: e["op"] == op)
+    ).cast("long")
+    return out.select(
+        "t",
+        "doc_id",
+        "evs",
+        F.size("evs").cast("long").alias("n_events"),
+        F.element_at("evs", 1)["lsn"].alias("min_lsn"),
+        F.element_at("evs", -1)["lsn"].alias("max_lsn"),
+        n_of("I").alias("n_i"),
+        n_of("U").alias("n_u"),
+        n_of("D").alias("n_d"),
+    )
+
+
 def _union_slots(metas: dict) -> tuple[list, dict]:
     """Merge every table's (name, type) fields into one slot list for the
     shared typed decode.  Slots are keyed by (name, type): tables agreeing
@@ -631,15 +667,24 @@ class MultiTableCdcEngine:
         )
         flat = explode_key_updates(parsed, [], payload_cols=["t", "full_row", "r"])
         caches: list = []
-        cut = snapshot_cut(
-            flat,
-            [],
-            n_events_hint=total_n,
-            persist_registry=caches,
-            is_snapshot=(F.col("op") == "D")
-            | ((F.col("op") == "U") & F.col("full_row")),
-            keys=("t", "doc_id"),
-        )
+        from pgoutput2json_spark.operators.fold import FUSED_CUT_MAX_EVENTS
+
+        if total_n <= FUSED_CUT_MAX_EVENTS:
+            # micro-batch fast path: cut fused into the group aggregation
+            # (same trade as the single-table engine — see
+            # fold.group_events_with_cut)
+            raw_grouped = _group_events_raw_multi_with_cut(flat)
+        else:
+            cut = snapshot_cut(
+                flat,
+                [],
+                n_events_hint=total_n,
+                persist_registry=caches,
+                is_snapshot=(F.col("op") == "D")
+                | ((F.col("op") == "U") & F.col("full_row")),
+                keys=("t", "doc_id"),
+            )
+            raw_grouped = _group_events_raw_multi(cut)
         # The survivor decode runs HERE, once for the whole publication
         # (union-of-columns typed structs dispatched per table/version),
         # so the cached grouped frame holds typed events and the unified
@@ -650,9 +695,7 @@ class MultiTableCdcEngine:
         # single pass (the old per-table fan-out re-analyzed it N times,
         # ~1.3 s/table of driver time at 1M events).
         slots_all, slots_remap = _union_slots(metas)
-        grouped_all = _decode_grouped_union(
-            _group_events_raw_multi(cut), metas, lazy
-        ).persist()
+        grouped_all = _decode_grouped_union(raw_grouped, metas, lazy).persist()
         caches.append(grouped_all)
         try:
             # ONE lineage/touched-bucket pass for the whole publication
