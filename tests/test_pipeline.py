@@ -305,3 +305,27 @@ def test_repetition_stats_catches_repetitive_docs(spark):
     assert out[1]["top_bigram_frac"] == 1.0   # every bigram is 'spam spam'
     assert not out[2]["repetitive"] and out[2]["dup_word_frac"] == 0.0
     assert out[3]["dup_line_frac"] == 0.5     # 2 of 4 lines are repeats
+
+
+def test_simhash_hot_chunk_guard(spark):
+    """max_chunk_df drops hot (chunk, value) buckets BEFORE the self-join:
+    a boilerplate corpus (many identical short docs -> one chunk bucket of
+    size n) must not produce n(n-1)/2 candidates when the cap is set.
+    Uncapped output stays exact (pigeonhole) - the guard is opt-in."""
+    rows = [(i, "identical boilerplate text shared by every doc", "web")
+            for i in range(40)]
+    rows += [(100, "a genuinely different document about spark engines", "web"),
+             (101, "a genuinely different document about spark engines", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uncapped = dd.simhash_pairs(docs, max_hamming=3).collect()
+    # all 40 identical docs pair up: C(40,2) = 780 plus the near pair
+    assert len(uncapped) >= 780
+
+    capped = dd.simhash_pairs(docs, max_hamming=3, max_chunk_df=10).collect()
+    # every chunk bucket of the boilerplate group exceeds the cap -> its
+    # quadratic candidates are gone; the small dup pair survives (its
+    # buckets have size 2, under the cap)
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert len(capped) < 780
+    assert (100, 101) in capped_pairs
