@@ -817,11 +817,11 @@ class CdcEngine:
         # collapse the observed subtree into an empty LocalRelation; the
         # CollectMetrics row then never materializes and Observation.get
         # raises a JVM assertion instead of returning zeros.  Stats are
-        # all-zero in that case by construction.
-        try:
-            merge_stats = {k: int(v or 0) for k, v in obs.get.items()}
-        except Exception:
-            merge_stats = {}
+        # all-zero in that case by construction — emitted as EXPLICIT zeros
+        # so commit summaries keep stable keys; any OTHER failure mode
+        # (query error, py4j connectivity, observation misuse) is logged
+        # loudly instead of silently blanking the metrics (ADVICE r5).
+        merge_stats = self._observed_stats(obs)
 
         lineage_path = None
         if opts.emit_lineage:
@@ -898,6 +898,31 @@ class CdcEngine:
         if opts.post_commit_hook is not None:
             opts.post_commit_hook(summary)
         return summary
+
+    #: the stable merge-stat keys every cdc-apply summary carries
+    _MERGE_STAT_KEYS = (
+        "rows_seen", "rows_inserted", "rows_kept_or_updated", "rows_deleted",
+    )
+
+    @classmethod
+    def _observed_stats(cls, obs) -> dict:
+        """Observation.get with the statically-empty-plan degradation made
+        explicit: zeros with stable keys on the known empty-plan JVM
+        assertion, a loud warning (still zeros — metrics must never fail a
+        commit) on anything else."""
+        try:
+            return {k: int(v or 0) for k, v in obs.get.items()}
+        except Exception as e:  # noqa: BLE001 — degrade, never fail commit
+            msg = str(e)
+            if not ("assert" in msg.lower() or "empty" in msg.lower()):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "merge metrics collection failed (%s); summary carries "
+                    "zeros for %s", msg.splitlines()[0][:200],
+                    cls._MERGE_STAT_KEYS,
+                )
+            return {k: 0 for k in cls._MERGE_STAT_KEYS}
 
     #: lineage file schema (M1) — stable across rounds
     _LINEAGE_SCHEMA = (

@@ -173,9 +173,13 @@ def _unified_parse(events: DataFrame, metas: dict, lazy: bool) -> DataFrame:
             & _per_table(
                 metas,
                 per_meta,
+                # (name, type) pairs, not names alone: the sig must cover
+                # every meta attribute the build closure might read, so
+                # same-name/different-type tables can never share a branch
+                # even if a later edit makes the branch type-sensitive
                 sig=lambda m: (
                     _versions_sig(m["versions"]),
-                    tuple(f["name"] for f in m["fields"]),
+                    tuple((f["name"], f["type"]) for f in m["fields"]),
                 ),
             )
             & no_toast,
@@ -1128,12 +1132,26 @@ class MultiTableCdcEngine:
         # Statically-empty staged output (e.g. every table's batch only
         # deletes absent keys) lets the optimizer collapse the observed
         # subtree; the metrics row never materializes and Observation.get
-        # raises a JVM assertion — stats are all-zero by construction then
-        # (same guard as CdcEngine.commit_prepared).
+        # raises a JVM assertion — stats are all-zero by construction then.
+        # Same explicit-zeros + loud-warning degradation as
+        # CdcEngine._observed_stats, with the per-table key prefixes.
         try:
             stats = {k: int(v or 0) for k, v in obs.get.items()}
-        except Exception:
-            stats = {}
+        except Exception as e:  # noqa: BLE001 — degrade, never fail commit
+            msg = str(e)
+            if not ("assert" in msg.lower() or "empty" in msg.lower()):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "unified merge metrics collection failed (%s); all %d "
+                    "tables' summaries carry zero merge stats",
+                    msg.splitlines()[0][:200], len(tables),
+                )
+            stats = {
+                f"t{i}_{k}": 0
+                for i in range(len(tables))
+                for k in CdcEngine._MERGE_STAT_KEYS
+            }
 
         class _Obs:
             def __init__(self, d):
