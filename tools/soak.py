@@ -114,6 +114,8 @@ def main() -> None:
     epochs: list[dict] = []
     t_prev = [time.time()]
 
+    from hostcheck import probe as _host_probe
+
     def hook(summary: dict) -> None:
         now = time.time()
         snap = eng.table.snapshot()
@@ -121,9 +123,15 @@ def main() -> None:
         n_delta = sum(len(v) for v in snap.get("deltas", {}).values())
         n_ev = int(summary.get("n-events", 0))
         dt = now - t_prev[0]
-        t_prev[0] = now
         data_dir = os.path.join(eng.table.root, "data")
         on_disk = sum(len(fs) for _, _, fs in os.walk(data_dir))
+        # per-epoch host probe (VERDICT r5 #6): stall attribution lives in
+        # the artifact itself instead of being argued from run-level
+        # before/after probes.  Smaller sweep than the run-level probe so
+        # the per-epoch cost stays ~0.1 s; probe time is excluded from the
+        # epoch wall clock (t_prev resets after it).
+        host_gbps = _host_probe(size=50_000_000)["mem_gbps"]
+        t_prev[0] = time.time()
         rec = {
             "epoch": summary.get("epoch"),
             "sec": round(dt, 2),
@@ -137,6 +145,7 @@ def main() -> None:
             "maintenance": summary.get("maintenance"),
             "skew_salt": summary.get("skew.salt"),
             "jvm_rss_mb": round(jvm_rss_kb() / 1024),
+            "host_gbps": host_gbps,
         }
         epochs.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
@@ -238,6 +247,23 @@ def main() -> None:
         round(min(e["events_per_sec"] for e in plain) / median_eps, 3)
         if plain and median_eps else None
     )
+    # key the stall criterion on the per-epoch probe column: a dip whose
+    # epoch probed well below the run's median deliverable bandwidth is a
+    # host-noise epoch, not an engine stall (VERDICT r5 #6)
+    gb = sorted(e["host_gbps"] for e in full if e.get("host_gbps")) or [0]
+    median_gbps = gb[len(gb) // 2]
+    worst_plain = min(
+        plain, key=lambda e: e["events_per_sec"], default=None
+    )
+    plain_min_attribution = None
+    if worst_plain is not None and median_gbps:
+        degraded = worst_plain.get("host_gbps", median_gbps) < 0.6 * median_gbps
+        plain_min_attribution = {
+            "epoch": worst_plain["epoch"],
+            "host_gbps": worst_plain.get("host_gbps"),
+            "median_host_gbps": median_gbps,
+            "verdict": "host-degraded" if degraded else "engine",
+        }
 
     # ---- table bytes on disk (live snapshot)
     snap = eng.table.snapshot()
@@ -326,6 +352,7 @@ def main() -> None:
         "min_epoch_vs_steady": min_ratio,
         "maintenance_epoch_min_vs_steady": maint_min,
         "non_maintenance_min_vs_steady": plain_min,
+        "non_maintenance_min_attribution": plain_min_attribution,
         "min_epoch_detail": {k: worst[k] for k in ("epoch", "maintenance", "expired")} if worst else None,
         "full_epochs": len(full),
         "near_empty_epochs": len(post) - len(full),
