@@ -119,15 +119,10 @@ def ngram_jaccard_pairs(
     (few shingles can exceed a large df), so it broadcasts.
     """
     docs = spread_small_input(docs)
-    # persist the inverted index ONCE: (id, shingle-hash) pairs are consumed
-    # by the hot-shingle aggregate, the per-doc size aggregate and BOTH
-    # self-join sides — without the cache each consumer re-runs the text
-    # normalization + shingle explode + md5 (the r5 plan scanned the corpus
-    # 16 times); the cached rows are metadata-sized (id + 32-char hash)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).select("id", F.md5("shingle").alias("sh")).persist()
+    ).select("id", F.md5("shingle").alias("sh"))
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -135,7 +130,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -216,11 +211,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # persist: both self-join sides would otherwise re-run the whole
-    # shingle -> K-minhash -> band pipeline (metadata-sized rows)
     banded = sigs.select("id", F.explode(band_structs).alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    ).persist()
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -232,10 +225,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # persist: the verify join reads the per-doc shingle arrays twice
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs")
-    ).persist()
+    )
     j = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sa"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sb"), "id_b")
@@ -329,11 +321,9 @@ def simhash_pairs(
             for c, (start, width) in enumerate(spans)
         ]
     )
-    # persist: both self-join sides would otherwise re-run the whole
-    # word-explode -> md5 -> 32-bit-sum simhash pipeline (metadata rows)
     cs = s.select("id", "simhash", F.explode(chunks).alias("e")).select(
         "id", "simhash", F.col("e.c").alias("c"), F.col("e.v").alias("v")
-    ).persist()
+    )
     if max_chunk_df is not None:
         hot = (
             cs.groupBy("c", "v")
@@ -347,7 +337,7 @@ def simhash_pairs(
                 f"simhash_pairs: dropping {n_hot} hot (chunk, value) "
                 f"buckets over max_chunk_df={max_chunk_df}"
             )
-        cs = cs.join(F.broadcast(hot), ["c", "v"], "left_anti").persist()
+        cs = cs.join(F.broadcast(hot), ["c", "v"], "left_anti")
     a, b = cs.alias("a"), cs.alias("b")
     cand = (
         a.join(

@@ -453,12 +453,15 @@ def cosine_neardup_pairs(
 
     vectors = spread_small_input(vectors)  # SRP projections evaluate per side
     # ONE narrow pass computes every band's bucket (explode of per-band
-    # structs), persisted as (id, band, bucket) METADATA ONLY — the r5 plan
-    # re-evaluated the scan + 24 SRP dot-product folds once per union
-    # branch per self-join side per consumer (48 scans / 54 exchanges at
-    # 3 bands with the hot-bucket guard); vectors never enter the self-join
-    # or the dedup shuffle (guide §2.3/§8: shuffle keys, not payloads — the
-    # payload is re-attached to the much smaller candidate set afterwards).
+    # structs) as (id, band, bucket) METADATA ONLY — the r5 plan built one
+    # union branch per band per self-join side per consumer, each carrying
+    # the vectors (48 scan subtrees / 54 exchanges at 3 bands with the
+    # hot-bucket guard); vectors never enter the self-join or the dedup
+    # shuffle (guide §2.3/§8: shuffle keys, not payloads — the payload is
+    # re-attached to the much smaller candidate set afterwards).  NOT
+    # persisted: a one-shot cold run pays more for the first cache
+    # materialization than the re-evaluations cost (measured 8.2 s vs
+    # 4.7 s with/without persist on a cold session).
     band_structs = F.array(
         *[
             F.struct(
@@ -473,7 +476,6 @@ def cosine_neardup_pairs(
     banded = (
         vectors.select(F.col(id_col), F.explode(band_structs).alias("e"))
         .select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
-        .persist()
     )
     if max_bucket is not None:
         hot = (
