@@ -99,13 +99,24 @@ def topk_gemm(
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            scores = m @ bqn.value.T  # (batch, Q)
+            # round BEFORE the per-partition cut and tie-break on
+            # (rounded score desc, id asc) — the same total order the
+            # final window rank uses.  A plain argpartition on raw scores
+            # broke rounded-score ties arbitrarily, so the candidate a
+            # tie's lowest id belonged to could be cut in its partition
+            # and the global top-k then disagreed with the oracle's
+            # deterministic tie-break (first seen at sf0.1; smaller SFs
+            # have no tie at the k-boundary).
+            scores = np.round(m @ bqn.value.T, 4)  # (batch, Q)
+            ids = pdf[id_col].to_numpy()
             topn = min(k, scores.shape[0])
-            idx = np.argpartition(-scores, topn - 1, axis=0)[:topn]
+            idx = np.empty((topn, scores.shape[1]), dtype=np.int64)
+            for j in range(scores.shape[1]):
+                idx[:, j] = np.lexsort((ids, -scores[:, j]))[:topn]
             out = {
                 "q_id": np.repeat(bqid.value, topn),
-                id_col: pdf[id_col].to_numpy()[idx].T.ravel(),
-                "score": np.round(np.take_along_axis(scores, idx, 0).T.ravel(), 4),
+                id_col: ids[idx].T.ravel(),
+                "score": np.take_along_axis(scores, idx, 0).T.ravel(),
             }
             yield pd.DataFrame(out)
 
